@@ -1,0 +1,88 @@
+"""Device-side paired-frame synthesis: random TPS + affine warps + color jitter.
+
+This is the TPU-native replacement for the reference's host-side DataLoader
+augmentation (SURVEY.md §3.1 hot spots, provenance [B:5]): a single image is
+turned into a (source, target) training pair by two independent random warps,
+entirely on device inside jit — no host round-trip in the step loop.
+
+Warp model (the published CelebA recipe, [PAPER][B:5][B:9]):
+  * a coarse ``grid_size x grid_size`` TPS control grid is perturbed with
+    Gaussian noise of std ``tps_scale`` (normalized units),
+  * composed with a random affine (rotation, isotropic scale, translation),
+  * the dense backward grid is evaluated and the image bilinearly sampled
+    (border padding so warped-in edges don't go black),
+  * followed by per-example color jitter.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from keypoints_tpu.coords import DEFAULT_ALIGN_CORNERS, axis_coords
+from keypoints_tpu.ops.color import color_jitter
+from keypoints_tpu.ops.warp import grid_sample, tps_grid
+
+
+class WarpConfig(NamedTuple):
+    grid_size: int = 5          # TPS control grid is grid_size^2 points
+    tps_scale: float = 0.05     # std of control-point perturbation
+    rotate: float = 0.1         # max |rotation| in radians
+    scale: float = 0.1          # max |log-ish scale delta|
+    translate: float = 0.1      # max |translation| in normalized units
+    brightness: float = 0.2
+    contrast: float = 0.2
+    saturation: float = 0.2
+
+
+def _control_grid(n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(n*n, 2) identity control sites spanning [-1, 1]^2, (x, y) order."""
+    c = axis_coords(n, align_corners=True, dtype=dtype)
+    gy, gx = jnp.meshgrid(c, c, indexing="ij")
+    return jnp.stack([gx, gy], axis=-1).reshape(-1, 2)
+
+
+def random_warp_grid(key: jax.Array, batch: int, height: int, width: int,
+                     cfg: WarpConfig = WarpConfig(),
+                     align_corners: bool = DEFAULT_ALIGN_CORNERS) -> jnp.ndarray:
+    """Random TPS∘affine backward sampling grid, (B, H, W, 2)."""
+    k_tps, k_rot, k_scale, k_trans = jax.random.split(key, 4)
+    n = cfg.grid_size * cfg.grid_size
+    sites = jnp.broadcast_to(_control_grid(cfg.grid_size), (batch, n, 2))
+
+    # Where each output control site samples from in the source image:
+    # identity + noise, then pushed through a random affine.
+    targets = sites + cfg.tps_scale * jax.random.normal(k_tps, (batch, n, 2))
+
+    theta = jax.random.uniform(k_rot, (batch,), minval=-cfg.rotate,
+                               maxval=cfg.rotate)
+    scale = 1.0 + jax.random.uniform(k_scale, (batch, 1, 1), minval=-cfg.scale,
+                                     maxval=cfg.scale)
+    trans = jax.random.uniform(k_trans, (batch, 1, 2), minval=-cfg.translate,
+                               maxval=cfg.translate)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    rot = jnp.stack([jnp.stack([cos, -sin], -1),
+                     jnp.stack([sin, cos], -1)], -2)          # (B, 2, 2)
+    targets = jnp.einsum("bij,bnj->bni", rot, targets) * scale + trans
+
+    return tps_grid(sites, targets, height, width,
+                    align_corners=align_corners)
+
+
+def make_pair(key: jax.Array, image: jnp.ndarray,
+              cfg: WarpConfig = WarpConfig(),
+              align_corners: bool = DEFAULT_ALIGN_CORNERS
+              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One image batch (B, C, H, W) → (source, target) independently warped pair."""
+    b, _, h, w = image.shape
+    ks, kt, kc_s, kc_t = jax.random.split(key, 4)
+    out = []
+    for kw, kc in ((ks, kc_s), (kt, kc_t)):
+        grid = random_warp_grid(kw, b, h, w, cfg, align_corners)
+        warped = grid_sample(image, grid, padding_mode="border",
+                             align_corners=align_corners)
+        out.append(color_jitter(kc, warped, cfg.brightness, cfg.contrast,
+                                cfg.saturation))
+    return out[0], out[1]

@@ -1,0 +1,149 @@
+"""Dense warps: bilinear grid sampling, affine grids, thin-plate-spline grids.
+
+These implement — in pure jnp, with semantics pinned to the torch functions the
+reference uses (SURVEY.md §2.1 "TPS warp augmentation", provenance [B:5][PAPER]):
+
+* :func:`grid_sample`   == ``torch.nn.functional.grid_sample`` (2-D, bilinear,
+  ``padding_mode`` in {zeros, border}, explicit ``align_corners``).
+* :func:`affine_grid`   == ``torch.nn.functional.affine_grid`` (2-D).
+* :func:`tps_grid`      — classic thin-plate-spline interpolation: given a coarse
+  control grid and per-control-point offsets, solve the TPS linear system and
+  evaluate the dense sampling grid. Used to synthesize (source, target) training
+  pairs from single images.
+
+Everything here is jit-compatible with static shapes and runs device-side —
+augmentation never touches the host (the north star's "fully device-side
+decode/augment/prefetch", [B:5][B:11]). The gather in :func:`grid_sample` is
+the op the Pallas ``warp_pallas`` kernel replaces on the hot path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from keypoints_tpu.coords import (DEFAULT_ALIGN_CORNERS, coord_grid,
+                                  normalized_to_pixel)
+
+
+def grid_sample(image: jnp.ndarray, grid: jnp.ndarray,
+                padding_mode: str = "zeros",
+                align_corners: bool = DEFAULT_ALIGN_CORNERS) -> jnp.ndarray:
+    """Bilinear sample ``image`` (B, C, H, W) at ``grid`` (B, Ho, Wo, 2 as (x,y)).
+
+    Returns (B, C, Ho, Wo). Semantics match torch grid_sample exactly (verified
+    against torch CPU in tests/test_warp.py).
+    """
+    if padding_mode not in ("zeros", "border"):
+        raise ValueError(f"unsupported padding_mode: {padding_mode!r}")
+    b, c, h, w = image.shape
+    ix = normalized_to_pixel(grid[..., 0], w, align_corners)  # (B, Ho, Wo)
+    iy = normalized_to_pixel(grid[..., 1], h, align_corners)
+
+    if padding_mode == "border":
+        ix = jnp.clip(ix, 0.0, w - 1)
+        iy = jnp.clip(iy, 0.0, h - 1)
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    wx1 = ix - x0            # weight for x1 corner
+    wy1 = iy - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def corner(yc, xc, wy, wx):
+        if padding_mode == "zeros":
+            valid = (xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
+            wgt = jnp.where(valid, wy * wx, 0.0)
+        else:
+            wgt = wy * wx
+        xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
+        flat = (yi * w + xi).reshape(b, -1)                       # (B, Ho*Wo)
+        img_flat = image.reshape(b, c, h * w)
+        vals = jnp.take_along_axis(img_flat, flat[:, None, :], axis=2)
+        return vals * wgt.reshape(b, 1, -1)
+
+    out = (corner(y0, x0, wy0, wx0) + corner(y0, x1, wy0, wx1)
+           + corner(y1, x0, wy1, wx0) + corner(y1, x1, wy1, wx1))
+    return out.reshape(b, c, *grid.shape[1:3])
+
+
+def affine_grid(theta: jnp.ndarray, height: int, width: int,
+                align_corners: bool = DEFAULT_ALIGN_CORNERS) -> jnp.ndarray:
+    """``torch.nn.functional.affine_grid`` for 2-D: theta (B, 2, 3) -> (B, H, W, 2).
+
+    ``grid[b, i, j] = theta[b] @ (x_j, y_i, 1)`` on the normalized identity grid.
+    """
+    base = coord_grid(height, width, align_corners, theta.dtype)  # (H, W, 2)
+    ones = jnp.ones((*base.shape[:2], 1), theta.dtype)
+    homo = jnp.concatenate([base, ones], axis=-1)                 # (H, W, 3)
+    return jnp.einsum("bij,hwj->bhwi", theta, homo)
+
+
+def _tps_u(r2: jnp.ndarray) -> jnp.ndarray:
+    """TPS radial basis U(r) = r^2 log(r^2), with U(0) = 0."""
+    return jnp.where(r2 == 0.0, 0.0, r2 * jnp.log(jnp.maximum(r2, 1e-30)))
+
+
+def tps_coefficients(control_points: jnp.ndarray, control_values: jnp.ndarray,
+                     reg: float = 0.0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve the TPS system for a batch of control sets.
+
+    control_points: (B, N, 2) sites in normalized coords.
+    control_values: (B, N, D) values at the sites (D=2 for a warp's (x, y)).
+    Returns (w, a): radial weights (B, N, D) and affine part (B, 3, D) so that
+
+        f(p) = a_0 + a_1 p_x + a_2 p_y + sum_i w_i U(|p - c_i|^2).
+
+    A tiny ``reg`` (bending regularizer) is added to the kernel diagonal; the
+    system is solved with one batched ``jnp.linalg.solve`` — cheap, on device.
+    """
+    b, n, _ = control_points.shape
+    d2 = jnp.sum((control_points[:, :, None, :]
+                  - control_points[:, None, :, :]) ** 2, axis=-1)   # (B, N, N)
+    k = _tps_u(d2) + reg * jnp.eye(n, dtype=control_points.dtype)
+    p = jnp.concatenate([jnp.ones((b, n, 1), control_points.dtype),
+                         control_points], axis=-1)                  # (B, N, 3)
+    zeros = jnp.zeros((b, 3, 3), control_points.dtype)
+    top = jnp.concatenate([k, p], axis=-1)                          # (B, N, N+3)
+    bot = jnp.concatenate([p.transpose(0, 2, 1), zeros], axis=-1)   # (B, 3, N+3)
+    lhs = jnp.concatenate([top, bot], axis=1)                       # (B, N+3, N+3)
+    rhs = jnp.concatenate(
+        [control_values,
+         jnp.zeros((b, 3, control_values.shape[-1]), control_values.dtype)],
+        axis=1)
+    sol = jnp.linalg.solve(lhs, rhs)                                # (B, N+3, D)
+    return sol[:, :n, :], sol[:, n:, :]
+
+
+def tps_evaluate(points: jnp.ndarray, control_points: jnp.ndarray,
+                 w: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate a solved TPS at ``points`` (B, M, 2) -> (B, M, D)."""
+    d2 = jnp.sum((points[:, :, None, :]
+                  - control_points[:, None, :, :]) ** 2, axis=-1)   # (B, M, N)
+    radial = _tps_u(d2) @ w                                         # (B, M, D)
+    ones = jnp.ones((*points.shape[:2], 1), points.dtype)
+    affine = jnp.concatenate([ones, points], axis=-1) @ a           # (B, M, D)
+    return radial + affine
+
+
+def tps_grid(control_points: jnp.ndarray, control_targets: jnp.ndarray,
+             height: int, width: int, reg: float = 0.0,
+             align_corners: bool = DEFAULT_ALIGN_CORNERS) -> jnp.ndarray:
+    """Dense TPS sampling grid (B, H, W, 2) from control-point correspondences.
+
+    ``control_points`` (B, N, 2) are sites in the *output* image; the returned
+    grid maps each output pixel to the *source* location ``control_targets``
+    (B, N, 2) interpolates — i.e. it plugs straight into :func:`grid_sample`
+    (backward warping, same convention the reference's torch pipeline uses).
+    """
+    w_, a_ = tps_coefficients(control_points, control_targets, reg)
+    b = control_points.shape[0]
+    dense = coord_grid(height, width, align_corners, control_points.dtype)
+    pts = jnp.broadcast_to(dense.reshape(1, -1, 2),
+                           (b, height * width, 2))
+    vals = tps_evaluate(pts, control_points, w_, a_)
+    return vals.reshape(b, height, width, 2)

@@ -1,0 +1,158 @@
+"""Golden-model parity: jnp ops vs independent torch implementations.
+
+SURVEY.md §4.1 — the backbone of the test strategy. Every core op must match
+the golden torch math to fp32 tolerance; grid_sample/affine_grid match
+``torch.nn.functional`` itself (the exact functions the reference used).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from keypoints_tpu import coords
+from keypoints_tpu.ops import (affine_grid, gaussian_maps, grid_sample,
+                               marginal_softmax, spatial_softmax2d, tps_grid)
+from tests.golden import torch_ops as golden
+
+ATOL = 1e-5
+ALIGN = [True, False]
+
+
+def rand(*shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("align", ALIGN)
+def test_axis_coords_matches_torch(align):
+    for n in (1, 2, 7, 64, 128):
+        if n == 1 and align:
+            continue  # torch linspace(−1,1,1) returns −1; we define center=0
+        got = np.asarray(coords.axis_coords(n, align))
+        want = golden.axis_coords(n, align).numpy()
+        np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+@pytest.mark.parametrize("align", ALIGN)
+@pytest.mark.parametrize("temp", [1.0, 0.5, 4.0])
+def test_spatial_softmax_joint(align, temp):
+    h = rand(2, 4, 16, 24, seed=1) * 3
+    got = np.asarray(spatial_softmax2d(jnp.array(h), temp, align))
+    want = golden.spatial_softmax2d(torch.tensor(h), temp, align).numpy()
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+@pytest.mark.parametrize("align", ALIGN)
+@pytest.mark.parametrize("temp", [1.0, 0.5])
+def test_spatial_softmax_marginal(align, temp):
+    h = rand(2, 4, 16, 24, seed=2) * 3
+    got = np.asarray(marginal_softmax(jnp.array(h), temp, align))
+    want = golden.marginal_softmax(torch.tensor(h), temp, align).numpy()
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_softmax_peak_recovery():
+    """A sharply peaked heatmap must soft-argmax to the peak location."""
+    h, w = 32, 32
+    hm = np.full((1, 1, h, w), -20.0, np.float32)
+    hm[0, 0, 8, 24] = 20.0
+    for fn in (spatial_softmax2d, marginal_softmax):
+        x, y = np.asarray(fn(jnp.array(hm)))[0, 0]
+        assert abs(x - coords.axis_coords(w)[24]) < 1e-3
+        assert abs(y - coords.axis_coords(h)[8]) < 1e-3
+
+
+@pytest.mark.parametrize("align", ALIGN)
+@pytest.mark.parametrize("sigma", [0.05, 0.1, 0.3])
+def test_gaussian_maps(align, sigma):
+    kp = np.clip(rand(2, 5, 2, seed=3) * 0.5, -1, 1).astype(np.float32)
+    got = np.asarray(gaussian_maps(jnp.array(kp), 24, 16, sigma, align))
+    want = golden.gaussian_maps(torch.tensor(kp), 24, 16, sigma, align).numpy()
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_softmax_raster_roundtrip():
+    """raster → soft-argmax recovers the keypoint (interior points)."""
+    kp = jnp.array([[[0.25, -0.5], [-0.7, 0.1], [0.0, 0.0], [0.6, 0.6]]])
+    maps = gaussian_maps(kp, 64, 64, sigma=0.1)
+    # log-space heatmaps: softmax(log G / τ) with small τ sharpens back
+    rec = spatial_softmax2d(jnp.log(maps + 1e-20), temperature=0.5)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(kp), atol=5e-3)
+
+
+@pytest.mark.parametrize("align", ALIGN)
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+def test_grid_sample_vs_torch(align, padding):
+    img = rand(2, 3, 17, 23, seed=4)
+    # grid with points inside, outside, and exactly on the boundary
+    grid = (rand(2, 9, 11, 2, seed=5) * 0.8).astype(np.float32)
+    grid[0, 0, 0] = [-1.0, -1.0]
+    grid[0, 0, 1] = [1.0, 1.0]
+    grid[0, 0, 2] = [-1.4, 0.3]   # out of bounds
+    grid[0, 0, 3] = [0.3, 1.7]    # out of bounds
+    got = np.asarray(grid_sample(jnp.array(img), jnp.array(grid),
+                                 padding_mode=padding, align_corners=align))
+    want = golden.torch_grid_sample(torch.tensor(img), torch.tensor(grid),
+                                    padding_mode=padding,
+                                    align_corners=align).numpy()
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+@pytest.mark.parametrize("align", ALIGN)
+def test_affine_grid_vs_torch(align):
+    theta = rand(3, 2, 3, seed=6) * 0.5
+    got = np.asarray(affine_grid(jnp.array(theta), 13, 19, align))
+    want = golden.torch_affine_grid(torch.tensor(theta), (3, 1, 13, 19),
+                                    align).numpy()
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+@pytest.mark.parametrize("align", ALIGN)
+def test_tps_grid_vs_golden(align):
+    rs = np.random.RandomState(7)
+    n = 16
+    base = np.stack(np.meshgrid(np.linspace(-1, 1, 4), np.linspace(-1, 1, 4),
+                                indexing="ij"), -1).reshape(-1, 2)
+    cp = np.broadcast_to(base, (2, n, 2)).astype(np.float32)
+    tgt = (cp + 0.05 * rs.randn(2, n, 2)).astype(np.float32)
+    got = np.asarray(tps_grid(jnp.array(cp), jnp.array(tgt), 12, 10,
+                              align_corners=align))
+    want = golden.tps_warp_grid(torch.tensor(cp.copy()),
+                                torch.tensor(tgt.copy()), 12, 10,
+                                align_corners=align).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_tps_identity_is_identity():
+    """Identity control targets ⇒ the dense grid is the identity grid."""
+    base = np.stack(np.meshgrid(np.linspace(-1, 1, 5), np.linspace(-1, 1, 5),
+                                indexing="ij"), -1).reshape(1, -1, 2)
+    cp = jnp.array(base.astype(np.float32))
+    grid = tps_grid(cp, cp, 8, 8)
+    np.testing.assert_allclose(np.asarray(grid),
+                               np.asarray(coords.coord_grid(8, 8))[None],
+                               atol=1e-4)
+
+
+def test_tps_interpolates_controls():
+    """The solved TPS must pass exactly through its control values."""
+    rs = np.random.RandomState(8)
+    cp = jnp.array(rs.uniform(-1, 1, (1, 9, 2)).astype(np.float32))
+    tgt = jnp.array(rs.uniform(-1, 1, (1, 9, 2)).astype(np.float32))
+    from keypoints_tpu.ops import tps_coefficients, tps_evaluate
+    w_, a_ = tps_coefficients(cp, tgt)
+    np.testing.assert_allclose(np.asarray(tps_evaluate(cp, cp, w_, a_)),
+                               np.asarray(tgt), atol=1e-4)
+
+
+def test_color_jitter_shapes_and_range():
+    from keypoints_tpu.ops import color_jitter
+    img = jnp.array(np.random.RandomState(9).rand(4, 3, 8, 8).astype(np.float32))
+    out = color_jitter(jax.random.PRNGKey(0), img, 0.3, 0.3, 0.3)
+    assert out.shape == img.shape
+    assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
+    # identity settings are a no-op
+    same = color_jitter(jax.random.PRNGKey(0), img, 0.0, 0.0, 0.0)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(img), atol=1e-7)
