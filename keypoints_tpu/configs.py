@@ -1,0 +1,152 @@
+"""Typed experiment configs — one frozen dataclass, five shipped presets.
+
+TPU-native replacement for the reference's argparse/per-experiment configs
+(SURVEY.md §2.1 "Config system", §5). The five presets are exactly the five
+BASELINE configs [B:6–12]; CLI overrides are handled in ``train.py`` via
+``--preset name --override field=value``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, replace
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    num_keypoints: int = 10
+    out_channels: int = 3
+    sigma: float = 0.1
+    temperature: float = 1.0
+    softmax_variant: str = "marginal"
+    encoder_filters: Tuple[int, ...] = (32, 32, 64, 64, 128)
+    encoder_strides: Tuple[int, ...] = (1, 2, 1, 2, 1)
+    decoder_filters: Tuple[int, ...] = (128, 64, 32)
+    decoder_upsample: Tuple[bool, ...] = (True, True, False)
+    groups: int = 8
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic_dots"   # synthetic_dots | synthetic_pong | celeba | atari | pose
+    image_size: int = 128
+    channels: int = 3
+    pair_mode: str = "warp"           # warp (TPS-synthesized) | temporal (stored pairs)
+    data_dir: str = "data"
+    # augmentation (device-side)
+    tps_scale: float = 0.05
+    rotate: float = 0.1
+    scale: float = 0.1
+    translate: float = 0.1
+    brightness: float = 0.2
+    contrast: float = 0.2
+    saturation: float = 0.2
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    model_kind: str = "autoencoder"   # autoencoder | transporter
+    loss: str = "l2"                  # l2 | perceptual
+    perceptual_layers: Tuple[str, ...] = ("relu1_2", "relu2_2", "relu3_3")
+    batch_size: int = 32
+    steps: int = 10_000
+    lr: float = 1e-3
+    warmup_steps: int = 100
+    weight_decay: float = 0.0
+    seed: int = 0
+    compute_dtype: str = "bfloat16"   # hot path; parity/eval force float32
+    log_every: int = 50
+    eval_every: int = 500
+    checkpoint_every: int = 1000
+    checkpoint_dir: str = "checkpoints"
+    max_to_keep: int = 3
+    data_parallel: bool = True        # shard batch over all visible devices
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "default"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def override(self, **kv) -> "Config":
+        """Dotted-path overrides: cfg.override(**{"train.lr": 3e-4})."""
+        out = self
+        for key, val in kv.items():
+            parts = key.split(".")
+            if len(parts) == 1:
+                out = replace(out, **{key: val})
+                continue
+            section = getattr(out, parts[0])
+            cur_t = type(getattr(section, parts[1]))
+            cast = cur_t if cur_t is not type(None) else (lambda v: v)
+            section = replace(section, **{parts[1]: cast(val)
+                                          if not isinstance(val, cur_t) else val})
+            out = replace(out, **{parts[0]: section})
+        return out
+
+
+# --- The five BASELINE presets [B:6–12] -------------------------------------
+
+PRESETS: dict[str, Config] = {}
+
+
+def _register(cfg: Config) -> Config:
+    PRESETS[cfg.name] = cfg
+    return cfg
+
+
+# [B:7] Pong 64×64 grayscale, 4-keypoint encoder-decoder — the PR1 ref.
+pong64 = _register(Config(
+    name="pong64",
+    model=ModelConfig(num_keypoints=4, out_channels=1, sigma=0.1),
+    data=DataConfig(dataset="synthetic_pong", image_size=64, channels=1,
+                    pair_mode="temporal"),
+    train=TrainConfig(model_kind="autoencoder", batch_size=64, lr=1e-3),
+))
+
+# [B:8] CelebA 128×128 faces, 10 keypoints, Gaussian-heatmap reconstruction.
+celeba128 = _register(Config(
+    name="celeba128",
+    model=ModelConfig(num_keypoints=10, out_channels=3, sigma=0.1),
+    data=DataConfig(dataset="celeba", image_size=128, channels=3,
+                    pair_mode="warp"),
+    train=TrainConfig(model_kind="autoencoder", batch_size=32, lr=1e-3),
+))
+
+# [B:9] Transporter-style paired-frame Atari with TPS warp augmentation.
+transporter_atari = _register(Config(
+    name="transporter_atari",
+    model=ModelConfig(num_keypoints=4, out_channels=1, sigma=0.1),
+    data=DataConfig(dataset="atari", image_size=64, channels=1,
+                    pair_mode="temporal"),
+    train=TrainConfig(model_kind="transporter", batch_size=64, lr=1e-3),
+))
+
+# [B:10] 256×256 human-pose frames, 16 keypoints, perceptual loss.
+pose256 = _register(Config(
+    name="pose256",
+    model=ModelConfig(num_keypoints=16, out_channels=3, sigma=0.05,
+                      encoder_filters=(32, 32, 64, 64, 128, 128),
+                      encoder_strides=(1, 2, 1, 2, 1, 2),
+                      decoder_filters=(128, 128, 64, 32),
+                      decoder_upsample=(True, True, True, False)),
+    data=DataConfig(dataset="pose", image_size=256, channels=3,
+                    pair_mode="warp"),
+    train=TrainConfig(model_kind="autoencoder", loss="perceptual",
+                      batch_size=16, lr=1e-3),
+))
+
+# [B:11] Data-parallel run, fully device-side decode/augment/prefetch.
+dp_celeba = _register(replace(
+    celeba128, name="dp_celeba",
+    train=replace(celeba128.train, batch_size=256, data_parallel=True),
+))
+
+
+def get_config(name: str) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]

@@ -1,0 +1,98 @@
+"""Offline rollout collection → packed FrameStore (SURVEY.md §3.4).
+
+The reference collects Atari frames from ALE/gym rollouts before training.
+Here the collector prefers real ALE (``gymnasium``/``gym``) when installed,
+and falls back to the scripted synthetic Pong simulator (same frame
+statistics: ball + paddles, 64² grayscale [B:7]) so the Transporter pipeline
+is runnable in any environment. Single-process, CPU, runs once before
+training.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from keypoints_tpu.data.records import FrameStore, episode_pairs
+
+
+def _ale_available(env_name: str) -> bool:
+    try:
+        import gymnasium  # noqa: F401
+        return True
+    except ImportError:
+        try:
+            import gym  # noqa: F401
+            return True
+        except ImportError:
+            return False
+
+
+def collect_ale(env_name: str, episodes: int, max_steps: int, size: int,
+                seed: int = 0) -> tuple[np.ndarray, list[int]]:
+    """Random-policy ALE rollouts → (frames u8 (N,1,size,size), ep lengths)."""
+    try:
+        import gymnasium as gym
+    except ImportError:
+        import gym
+    import cv2
+    env = gym.make(env_name, render_mode="rgb_array")
+    frames, lengths = [], []
+    rng = np.random.RandomState(seed)
+    for ep in range(episodes):
+        env.reset(seed=seed + ep)
+        n = 0
+        for _ in range(max_steps):
+            _, _, term, trunc, _ = env.step(env.action_space.sample())
+            img = env.render()
+            gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+            gray = cv2.resize(gray, (size, size),
+                              interpolation=cv2.INTER_AREA)
+            frames.append(gray[None])
+            n += 1
+            if term or trunc:
+                break
+        lengths.append(n)
+    env.close()
+    return np.stack(frames).astype(np.uint8), lengths
+
+
+def collect_scripted_pong(episodes: int, steps_per_episode: int, size: int,
+                          seed: int = 0) -> tuple[np.ndarray, list[int]]:
+    """Scripted Pong physics rollouts (no gym needed), u8 frames."""
+    import jax
+    import jax.numpy as jnp
+    from keypoints_tpu.data.synthetic import _render_pong
+
+    rng = np.random.RandomState(seed)
+    frames, lengths = [], []
+    for ep in range(episodes):
+        ball = rng.uniform(-0.7, 0.7, 2)
+        vel = rng.uniform(0.5, 1.5, 2) * np.sign(rng.uniform(-1, 1, 2))
+        dt = 0.08
+        for t in range(steps_per_episode):
+            pad = np.clip(ball[1] + 0.1 * rng.randn(2), -0.8, 0.8)
+            f = _render_pong(jnp.asarray(ball[None], jnp.float32),
+                             jnp.asarray(pad[None], jnp.float32), size)
+            frames.append(np.asarray(f[0]))
+            ball = ball + vel * dt
+            ball = np.abs(np.mod(ball + 1.0, 4.0) - 2.0) - 1.0
+        lengths.append(steps_per_episode)
+    arr = (np.clip(np.stack(frames), 0, 1) * 255).astype(np.uint8)
+    return arr, lengths
+
+
+def collect(out_path: str, env_name: Optional[str] = "ALE/Pong-v5",
+            episodes: int = 20, steps_per_episode: int = 200,
+            size: int = 64, delta: int = 2, seed: int = 0) -> str:
+    """Collect rollouts and write a FrameStore with a temporal-pair index."""
+    if env_name and _ale_available(env_name):
+        frames, lengths = collect_ale(env_name, episodes, steps_per_episode,
+                                      size, seed)
+    else:
+        frames, lengths = collect_scripted_pong(episodes, steps_per_episode,
+                                                size, seed)
+    pairs = episode_pairs(lengths, delta)
+    FrameStore.write(out_path, frames, pairs)
+    return out_path

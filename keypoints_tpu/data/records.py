@@ -1,0 +1,139 @@
+"""Packed on-disk datasets and loaders: frames, frame-pairs, image folders.
+
+SURVEY.md §2.1 (CelebA / Atari / human-pose datasets) with a TPU-native
+storage design: one memory-mapped ``.npy`` per split (shape ``(N, C, H, W)``
+uint8, plus an optional ``*_pairs.npy`` index of (i, j) temporal pairs),
+written once by a collector and read with zero-copy mmap slices. Grain
+(``grain.MapDataset``) provides shuffling/sharding/batching on top; batches
+move to device as uint8 and are normalized to float on-chip, so the host does
+no float math and H2D bytes stay 4× smaller [B:5].
+
+Why not TFRecord/ArrayRecord: frames are fixed-shape and small; a raw mmap is
+the fastest possible host-side read path (pure memcpy), and keeps the loader
+dependency-free.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FrameStore:
+    """A packed uint8 frame array on disk, with optional temporal-pair index."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.frames = np.load(path, mmap_mode="r")          # (N, C, H, W) u8
+        pairs_path = path.replace(".npy", "_pairs.npy")
+        self.pairs = (np.load(pairs_path, mmap_mode="r")
+                      if os.path.exists(pairs_path) else None)
+
+    def __len__(self) -> int:
+        return len(self.pairs) if self.pairs is not None else len(self.frames)
+
+    @staticmethod
+    def write(path: str, frames: np.ndarray,
+              pairs: Optional[np.ndarray] = None) -> None:
+        assert frames.dtype == np.uint8 and frames.ndim == 4
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.save(path, frames)
+        if pairs is not None:
+            np.save(path.replace(".npy", "_pairs.npy"),
+                    pairs.astype(np.int32))
+
+
+def episode_pairs(episode_lengths: list[int], delta: int = 1) -> np.ndarray:
+    """(i, i+delta) index pairs that never cross an episode boundary."""
+    out, base = [], 0
+    for n in episode_lengths:
+        for i in range(n - delta):
+            out.append((base + i, base + i + delta))
+        base += n
+    return np.asarray(out, np.int32)
+
+
+def _to_device_float(batch_u8: np.ndarray) -> jnp.ndarray:
+    """Host u8 → device u8 → float[0,1] on device (cheap H2D, on-chip divide)."""
+    return jnp.asarray(batch_u8).astype(jnp.float32) / 255.0
+
+
+def single_stream(store: FrameStore, batch_size: int, seed: int = 0,
+                  shard_index: int = 0, shard_count: int = 1
+                  ) -> Iterator[jnp.ndarray]:
+    """Infinite shuffled stream of single-frame batches (warp-mode datasets)."""
+    import grain
+    ds = (grain.MapDataset.source(
+              grain.sources.RangeDataSource(0, len(store.frames), 1))
+          [shard_index::shard_count]
+          .shuffle(seed=seed).repeat()
+          .map(lambda i: store.frames[i])
+          .batch(batch_size))
+    for batch in ds:
+        yield _to_device_float(np.asarray(batch))
+
+
+def pair_stream(store: FrameStore, batch_size: int, seed: int = 0,
+                shard_index: int = 0, shard_count: int = 1
+                ) -> Iterator[tuple[jnp.ndarray, jnp.ndarray]]:
+    """Infinite shuffled stream of (frame_t, frame_{t+Δ}) batches."""
+    import grain
+    assert store.pairs is not None, "store has no temporal-pair index"
+    ds = (grain.MapDataset.source(
+              grain.sources.RangeDataSource(0, len(store.pairs), 1))
+          [shard_index::shard_count]
+          .shuffle(seed=seed).repeat()
+          .map(lambda i: (store.frames[store.pairs[i][0]],
+                          store.frames[store.pairs[i][1]]))
+          .batch(batch_size))
+    for a, b in ds:
+        yield _to_device_float(np.asarray(a)), _to_device_float(np.asarray(b))
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Double-buffered device prefetch: keep ``depth`` batches in flight.
+
+    ``jnp.asarray`` issues an async H2D copy; holding a small deque of
+    already-transferred batches overlaps host read + transfer with the
+    device step (SURVEY.md §2.4, [B:5]).
+    """
+    from collections import deque
+    buf: deque = deque()
+    for item in iterator:
+        buf.append(item)
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
+def image_folder_to_store(folder: str, out_path: str, size: int,
+                          channels: int = 3, limit: Optional[int] = None
+                          ) -> str:
+    """Decode an image folder (png/jpg) to a packed store — offline, one-time.
+
+    Uses cv2 for decode+resize (host, ahead of training — decode is NOT in the
+    training loop; [B:5] keeps only augmentation on device).
+    """
+    import cv2
+    names = sorted(f for f in os.listdir(folder)
+                   if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    if limit:
+        names = names[:limit]
+    frames = np.empty((len(names), channels, size, size), np.uint8)
+    for i, name in enumerate(names):
+        img = cv2.imread(os.path.join(folder, name),
+                         cv2.IMREAD_COLOR if channels == 3
+                         else cv2.IMREAD_GRAYSCALE)
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
+        if channels == 3:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).transpose(2, 0, 1)
+        else:
+            img = img[None]
+        frames[i] = img
+    FrameStore.write(out_path, frames)
+    return out_path

@@ -1,0 +1,5 @@
+from keypoints_tpu.parallel.dp import (data_parallel_mesh, make_dp_train_step,
+                                       replicate, shard_batch)
+
+__all__ = ["data_parallel_mesh", "make_dp_train_step", "replicate",
+           "shard_batch"]

@@ -1,0 +1,162 @@
+"""Training entry point: ``python -m keypoints_tpu.train --preset pong64``.
+
+The reference's per-config train scripts collapsed into one loop (SURVEY.md
+§2.1 "Train loop(s)", §3.1/§3.2): build config → data stream → jitted
+(optionally shard_map-DP) train step → periodic logging, keypoint-overlay
+visualization, Orbax checkpointing with automatic resume.
+
+Step-loop design for TPU throughput [B:5]:
+* synthetic/warp augmentation runs inside the jitted step (zero host work);
+* stored datasets stream uint8 with double-buffered device prefetch;
+* metrics are fetched only every ``log_every`` steps — no per-step host sync;
+* train state is donated, so params never round-trip HBM.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keypoints_tpu import checkpoint as ckpt
+from keypoints_tpu.configs import Config, get_config
+from keypoints_tpu.data.records import FrameStore, pair_stream, prefetch, single_stream
+from keypoints_tpu.data.synthetic import moving_dots_pair, scripted_pong_pair
+from keypoints_tpu.losses import make_perceptual_loss
+from keypoints_tpu.parallel import (data_parallel_mesh, make_dp_train_step,
+                                    replicate, shard_batch)
+from keypoints_tpu.training import (TrainState, build_model, init_state,
+                                    make_extract_fn, make_train_step)
+from keypoints_tpu.viz import Logger, image_grid, overlay_keypoints, side_by_side, to_hwc
+
+
+def make_batch_iterator(cfg: Config) -> Iterator:
+    """→ iterator of raw-image batches (warp mode) or (src, tgt) pairs."""
+    d, b = cfg.data, cfg.train.batch_size
+    if d.dataset == "synthetic_dots":
+        def gen():
+            key = jax.random.PRNGKey(cfg.train.seed + 1)
+            mk = jax.jit(lambda k: moving_dots_pair(
+                k, b, d.image_size, num_dots=cfg.model.num_keypoints,
+                channels=d.channels, max_shift=0.8)[:2])
+            while True:
+                key, sub = jax.random.split(key)
+                yield mk(sub)
+        return gen()
+    if d.dataset == "synthetic_pong":
+        def gen():
+            key = jax.random.PRNGKey(cfg.train.seed + 1)
+            mk = jax.jit(lambda k: scripted_pong_pair(k, b, d.image_size)[:2])
+            while True:
+                key, sub = jax.random.split(key)
+                yield mk(sub)
+        return gen()
+    # stored datasets
+    store = FrameStore(f"{d.data_dir}/{d.dataset}_{d.image_size}.npy")
+    if d.pair_mode == "temporal":
+        return prefetch(pair_stream(store, b, cfg.train.seed))
+    return prefetch(single_stream(store, b, cfg.train.seed))
+
+
+def make_loss(cfg: Config):
+    if cfg.train.loss == "perceptual":
+        from keypoints_tpu.models.vgg import make_feature_fn
+        feat = make_feature_fn(layers=cfg.train.perceptual_layers)
+        return make_perceptual_loss(feat, cfg.train.perceptual_layers)
+    return None  # default L2
+
+
+def train(cfg: Config, logdir: str | None = None) -> TrainState:
+    t = cfg.train
+    model = build_model(cfg)
+    loss = make_loss(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(t.seed))
+
+    dp = t.data_parallel and len(jax.devices()) > 1
+    if dp:
+        mesh = data_parallel_mesh()
+        step_fn = make_dp_train_step(cfg, mesh, loss=loss)
+        state = replicate(mesh, state)
+        put = lambda b: shard_batch(mesh, b)
+    else:
+        step_fn = jax.jit(make_train_step(cfg, model, loss=loss),
+                          donate_argnums=(0,))
+        put = lambda b: b
+
+    extract = jax.jit(make_extract_fn(cfg, model))
+    mgr = ckpt.make_manager(f"{t.checkpoint_dir}/{cfg.name}", t.max_to_keep)
+    start, restored = ckpt.restore_latest(mgr, state._asdict())
+    if start is not None:
+        state = TrainState(**restored)
+        print(f"resumed from step {start}")
+
+    log = Logger(logdir)
+    rng = jax.random.PRNGKey(t.seed + 2)
+    batches = make_batch_iterator(cfg)
+    eval_batch = None
+    last_t, last_step = time.time(), int(np.asarray(state.step))
+
+    for _ in range(int(np.asarray(state.step)), t.steps):
+        batch = put(next(batches))
+        if eval_batch is None:
+            eval_batch = batch
+        state, metrics = step_fn(state, batch, rng)
+        step = int(np.asarray(state.step))
+
+        if step % t.log_every == 0:
+            now = time.time()
+            fps = (step - last_step) * t.batch_size / max(now - last_t, 1e-9)
+            last_t, last_step = now, step
+            lv = float(np.asarray(metrics["loss"]))
+            gn = float(np.asarray(metrics["grad_norm"]))
+            print(f"step {step:6d} loss {lv:.5f} grad {gn:.3f} "
+                  f"frames/s {fps:.0f}")
+            log.scalars(step, loss=lv, grad_norm=gn, frames_per_sec=fps)
+
+        if step % t.eval_every == 0:
+            imgs = eval_batch if not isinstance(eval_batch, tuple) \
+                else eval_batch[1]
+            imgs = imgs[:8]
+            kp = extract(state.params, imgs)
+            over = overlay_keypoints(np.asarray(imgs), np.asarray(kp))
+            log.images(step, "keypoints", image_grid(over))
+
+        if step % t.checkpoint_every == 0:
+            ckpt.save(mgr, step, state._asdict())
+
+    mgr.wait_until_finished()
+    log.close()
+    return state
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="keypoints_tpu trainer")
+    p.add_argument("--preset", default="pong64")
+    p.add_argument("--override", nargs="*", default=[],
+                   help="dotted overrides, e.g. train.lr=3e-4")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--logdir", default=None)
+    args = p.parse_args(argv)
+
+    cfg = get_config(args.preset)
+    overrides = {}
+    for item in args.override:
+        k, v = item.split("=", 1)
+        try:
+            v = eval(v, {}, {})  # literals only: ints, floats, tuples
+        except Exception:
+            pass  # keep string
+        overrides[k] = v
+    if args.steps is not None:
+        overrides["train.steps"] = args.steps
+    if overrides:
+        cfg = cfg.override(**overrides)
+    train(cfg, args.logdir)
+
+
+if __name__ == "__main__":
+    main()

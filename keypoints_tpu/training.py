@@ -1,0 +1,131 @@
+"""Training core: model/optimizer construction and the jitted train step.
+
+TPU-native realization of the reference's per-config train scripts (SURVEY.md
+§2.1 "Train loop(s)", §3.1): one pure ``train_step`` — forward → loss → grad →
+Adam update — compiled once by XLA. Warp-mode augmentation (TPS pair synthesis)
+runs *inside* the step so the whole batch→update path is a single fused device
+program with no host round-trips [B:5].
+
+Data parallelism lives in ``parallel/dp.py`` and wraps the same step with
+``shard_map`` + gradient pmean; this module is strategy-agnostic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from keypoints_tpu.configs import Config
+from keypoints_tpu.data.augment import WarpConfig, make_pair
+from keypoints_tpu.losses import l2_loss
+from keypoints_tpu.models import KeypointAutoencoder, Transporter
+
+
+class TrainState(NamedTuple):
+    """Minimal pytree train state: {step, params, opt_state}."""
+    step: jnp.ndarray
+    params: dict
+    opt_state: optax.OptState
+
+
+def build_model(cfg: Config) -> nn.Module:
+    m = cfg.model
+    dtype = {"bfloat16": jnp.bfloat16, "float32": None}[cfg.train.compute_dtype]
+    cls = {"autoencoder": KeypointAutoencoder,
+           "transporter": Transporter}[cfg.train.model_kind]
+    return cls(num_keypoints=m.num_keypoints, out_channels=m.out_channels,
+               sigma=m.sigma, temperature=m.temperature,
+               softmax_variant=m.softmax_variant,
+               encoder_filters=m.encoder_filters,
+               encoder_strides=m.encoder_strides,
+               decoder_filters=m.decoder_filters,
+               decoder_upsample=m.decoder_upsample,
+               groups=m.groups, dtype=dtype)
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    t = cfg.train
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=t.lr, warmup_steps=t.warmup_steps,
+        decay_steps=max(t.steps, t.warmup_steps + 1), end_value=t.lr * 0.1)
+    if t.weight_decay > 0:
+        return optax.adamw(sched, weight_decay=t.weight_decay)
+    return optax.adam(sched)
+
+
+def init_state(cfg: Config, rng: jax.Array) -> TrainState:
+    model = build_model(cfg)
+    s = cfg.data.image_size
+    dummy = jnp.zeros((1, cfg.data.channels, s, s), jnp.float32)
+    # jit the init: one fused compile instead of op-by-op dispatch (~100x
+    # faster cold init on TPU, measured 90s -> ~1s for the pong64 model).
+    params = jax.jit(model.init)(rng, dummy, dummy)["params"]
+    tx = make_optimizer(cfg)
+    return TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+
+
+def warp_config(cfg: Config) -> WarpConfig:
+    d = cfg.data
+    return WarpConfig(tps_scale=d.tps_scale, rotate=d.rotate, scale=d.scale,
+                      translate=d.translate, brightness=d.brightness,
+                      contrast=d.contrast, saturation=d.saturation)
+
+
+def make_loss_fn(cfg: Config, model: nn.Module,
+                 loss: Optional[Callable] = None) -> Callable:
+    """→ fn(params, src, tgt) -> (loss, aux dict). ``loss`` defaults to L2."""
+    recon_loss = loss or l2_loss
+
+    def loss_fn(params, src, tgt):
+        recon, kp = model.apply({"params": params}, src, tgt)
+        value = recon_loss(recon, tgt)
+        return value, {"loss": value, "keypoints": kp, "recon": recon}
+    return loss_fn
+
+
+def make_train_step(cfg: Config, model: nn.Module, tx=None,
+                    loss: Optional[Callable] = None,
+                    axis_name: Optional[str] = None) -> Callable:
+    """Build the pure train step: (state, batch, rng) → (state, metrics).
+
+    ``batch`` is either a raw image batch (warp mode — the (src, tgt) pair is
+    synthesized on device inside the step) or a precomputed (src, tgt) tuple
+    (temporal mode). When ``axis_name`` is set the gradient is pmean'd across
+    that mapped axis (the shard_map DP path).
+    """
+    tx = tx or make_optimizer(cfg)
+    loss_fn = make_loss_fn(cfg, model, loss)
+    warp_mode = cfg.data.pair_mode == "warp"
+    wcfg = warp_config(cfg)
+
+    def step(state: TrainState, batch, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        if warp_mode:
+            src, tgt = make_pair(rng, batch, wcfg)
+        else:
+            src, tgt = batch
+        (value, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, src, tgt)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            value = jax.lax.pmean(value, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": value,
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return step
+
+
+def make_extract_fn(cfg: Config, model: nn.Module) -> Callable:
+    """Jittable keypoint-extraction path: (params, images) → (B, K, 2) [B:2]."""
+    def extract(params, images):
+        return model.apply({"params": params}, images,
+                           method=model.extract_keypoints)
+    return extract

@@ -1,0 +1,74 @@
+"""Data pipeline tests: synthetic generators, FrameStore, streams, collector."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from keypoints_tpu.data.collect import collect, collect_scripted_pong
+from keypoints_tpu.data.records import (FrameStore, episode_pairs,
+                                        pair_stream, prefetch, single_stream)
+from keypoints_tpu.data.synthetic import (moving_dots_pair, render_dots,
+                                          scripted_pong_pair)
+
+
+def test_render_dots_peaks_at_positions():
+    pos = jnp.array([[[0.0, 0.0], [0.5, -0.5]]])
+    img = np.asarray(render_dots(pos, 33, channels=3, sigma=0.1))
+    assert img.shape == (1, 3, 33, 33)
+    # dot 0 is in channel 0, centered: pixel (16, 16)
+    assert img[0, 0, 16, 16] > 0.95
+    # dot 1 in channel 1 at x=0.5, y=-0.5 → col 24, row 8
+    assert img[0, 1, 8, 24] > 0.95
+
+
+def test_moving_dots_pair_shapes():
+    src, tgt, pos = moving_dots_pair(jax.random.PRNGKey(0), 4, 32,
+                                     num_dots=3, channels=1)
+    assert src.shape == tgt.shape == (4, 1, 32, 32)
+    assert pos.shape == (4, 3, 2)
+    assert float(jnp.abs(src - tgt).max()) > 0.1   # actually moved
+
+
+def test_scripted_pong_pair():
+    f1, f2, state = scripted_pong_pair(jax.random.PRNGKey(1), 4, 64)
+    assert f1.shape == f2.shape == (4, 1, 64, 64)
+    assert state.shape == (4, 3, 2)
+    assert float(f1.max()) <= 1.0 and float(f1.min()) >= 0.0
+    # paddles present: columns near x=±0.9 have bright pixels
+    assert float(f1[..., 3]. max()) > 0.9
+
+
+def test_episode_pairs_respects_boundaries():
+    pairs = episode_pairs([3, 2], delta=1)
+    assert pairs.tolist() == [[0, 1], [1, 2], [3, 4]]
+    pairs2 = episode_pairs([3, 2], delta=2)
+    assert pairs2.tolist() == [[0, 2]]
+
+
+def test_framestore_roundtrip_and_streams(tmp_path):
+    frames = (np.random.RandomState(0).rand(10, 1, 8, 8) * 255).astype(np.uint8)
+    pairs = episode_pairs([10], delta=1)
+    path = str(tmp_path / "frames.npy")
+    FrameStore.write(path, frames, pairs)
+    store = FrameStore(path)
+    assert len(store) == 9
+
+    it = single_stream(store, batch_size=4, seed=0)
+    batch = next(it)
+    assert batch.shape == (4, 1, 8, 8)
+    assert 0.0 <= float(batch.min()) and float(batch.max()) <= 1.0
+
+    it2 = prefetch(pair_stream(store, batch_size=4, seed=0), depth=2)
+    a, b = next(it2)
+    assert a.shape == b.shape == (4, 1, 8, 8)
+
+
+def test_collector_writes_pong_store(tmp_path):
+    path = collect(str(tmp_path / "pong.npy"), env_name=None, episodes=2,
+                   steps_per_episode=5, size=32, delta=1)
+    store = FrameStore(path)
+    assert store.frames.shape == (10, 1, 32, 32)
+    assert store.frames.dtype == np.uint8
+    assert len(store.pairs) == 8
+    assert store.frames.max() > 100   # content present

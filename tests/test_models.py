@@ -1,0 +1,94 @@
+"""Model-zoo shape/behavior tests: autoencoder, transporter, extraction."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keypoints_tpu.configs import get_config
+from keypoints_tpu.models import KeypointAutoencoder, Transporter
+from keypoints_tpu.training import (build_model, init_state, make_extract_fn,
+                                    make_train_step)
+
+
+def small_cfg(name="pong64", **over):
+    cfg = get_config(name)
+    cfg = cfg.override(**{
+        "model.encoder_filters": (8, 16),
+        "model.encoder_strides": (2, 2),
+        "model.decoder_filters": (16, 8),
+        "model.decoder_upsample": (True, True),
+        "model.groups": 4,
+        "data.image_size": 32,
+        "train.batch_size": 8,
+        "train.compute_dtype": "float32",
+        **over})
+    return cfg
+
+
+def test_autoencoder_shapes():
+    cfg = small_cfg()
+    model = build_model(cfg)
+    x = jnp.zeros((2, 1, 32, 32))
+    params = model.init(jax.random.PRNGKey(0), x, x)["params"]
+    recon, kp = model.apply({"params": params}, x, x)
+    assert recon.shape == (2, 1, 32, 32)
+    assert kp.shape == (2, 4, 2)
+    assert np.isfinite(np.asarray(recon)).all()
+
+
+def test_transporter_shapes_and_stopgrad():
+    cfg = small_cfg(**{"train.model_kind": "transporter"})
+    model = build_model(cfg)
+    x = jnp.ones((2, 1, 32, 32)) * 0.5
+    params = model.init(jax.random.PRNGKey(0), x, x)["params"]
+    recon, kp = model.apply({"params": params}, x, x)
+    assert recon.shape == (2, 1, 32, 32)
+    assert kp.shape == (2, 4, 2)
+
+    # Gradient w.r.t. a source-only perturbation must be zero through the
+    # stop-gradded source branch... but source also feeds phi_s which is
+    # stopped; target branch grads must be nonzero.
+    def loss(params):
+        r, _ = model.apply({"params": params}, x, x + 0.01)
+        return jnp.mean(r ** 2)
+    g = jax.grad(loss)(params)
+    gn = float(jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0))
+    assert gn > 0
+
+
+def test_extract_keypoints_range():
+    cfg = small_cfg()
+    model = build_model(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    extract = jax.jit(make_extract_fn(cfg, model))
+    kp = extract(state.params, jnp.array(
+        np.random.RandomState(0).rand(4, 1, 32, 32), jnp.float32))
+    kp = np.asarray(kp)
+    assert kp.shape == (4, 4, 2)
+    assert (kp >= -1.001).all() and (kp <= 1.001).all()
+
+
+@pytest.mark.parametrize("variant", ["marginal", "joint"])
+def test_softmax_variant_flag_wires_through(variant):
+    cfg = small_cfg(**{"model.softmax_variant": variant})
+    model = build_model(cfg)
+    x = jnp.zeros((1, 1, 32, 32))
+    params = model.init(jax.random.PRNGKey(0), x, x)["params"]
+    _, kp = model.apply({"params": params}, x, x)
+    assert kp.shape == (1, 4, 2)
+
+
+def test_train_step_runs_and_is_finite():
+    cfg = small_cfg()
+    model = build_model(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg, model))
+    batch = (jnp.array(np.random.RandomState(1).rand(8, 1, 32, 32), jnp.float32),
+             jnp.array(np.random.RandomState(2).rand(8, 1, 32, 32), jnp.float32))
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0

@@ -1,0 +1,77 @@
+"""VGG perceptual net: parity vs a torch VGG-16 with shared converted weights."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from keypoints_tpu.checkpoint import convert_torch_state_dict
+from keypoints_tpu.losses import make_perceptual_loss
+from keypoints_tpu.models.vgg import (VGG16Features, make_feature_fn,
+                                      torchvision_rename_map)
+
+
+def _torch_vgg16_features():
+    """torchvision-layout VGG-16 features trunk in plain torch (random init)."""
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512]
+    layers, in_c = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        else:
+            layers.append(torch.nn.Conv2d(in_c, v, 3, padding=1))
+            layers.append(torch.nn.ReLU(inplace=False))
+            in_c = v
+    return torch.nn.Sequential(*layers)
+
+
+_TAP_INDICES = {"relu1_2": 3, "relu2_2": 8, "relu3_3": 15, "relu4_3": 22}
+
+
+def test_vgg_parity_with_torch():
+    torch.manual_seed(0)
+    tnet = _torch_vgg16_features().eval()
+    sd = {f"features.{i}.{leaf}": t
+          for name, t in tnet.state_dict().items()
+          for i, leaf in [name.split(".")]}
+    params = convert_torch_state_dict(sd, rename=torchvision_rename_map())
+
+    layers = ("relu1_2", "relu2_2", "relu3_3")
+    model = VGG16Features(layers=layers)
+    x = np.random.RandomState(0).rand(2, 3, 32, 32).astype(np.float32)
+
+    got = model.apply({"params": params},
+                      jnp.asarray(x).transpose(0, 2, 3, 1))
+    with torch.no_grad():
+        tx = torch.tensor(x)
+        for name, idx in _TAP_INDICES.items():
+            if name not in layers:
+                continue
+            feats = tnet[:idx + 1](tx).numpy()            # NCHW
+            ours = np.asarray(got[name]).transpose(0, 3, 1, 2)
+            np.testing.assert_allclose(ours, feats, atol=1e-4,
+                                       err_msg=name)
+
+
+def test_perceptual_loss_properties():
+    feat = make_feature_fn(layers=("relu1_2", "relu2_2"))
+    loss = make_perceptual_loss(feat, ("relu1_2", "relu2_2"))
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 3, 32, 32),
+                    jnp.float32)
+    assert float(loss(x, x)) == 0.0
+    y = jnp.asarray(np.random.RandomState(2).rand(2, 3, 32, 32),
+                    jnp.float32)
+    assert float(loss(x, y)) > 0.0
+    # differentiable
+    g = jax.grad(lambda a: loss(a, y))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_perceptual_loss_grayscale_input():
+    feat = make_feature_fn(layers=("relu1_2",))
+    loss = make_perceptual_loss(feat, ("relu1_2",))
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 1, 32, 32), jnp.float32)
+    assert np.isfinite(float(loss(x, x * 0.5)))
