@@ -1,0 +1,108 @@
+"""Benchmark harness: train frames/sec/chip @ 128px (the BASELINE headline).
+
+Runs the celeba128-preset Jakab autoencoder train step — bf16 compute, warp
+(TPS+affine+jitter) augmentation fused inside the jitted step, donated state,
+no per-step host sync — on whatever single device JAX provides (TPU under the
+driver; CPU locally for smoke). Also measures the keypoint-extract path.
+
+Prints ONE JSON line:
+  {"metric": "train_frames_per_sec_per_chip_128px", "value": N,
+   "unit": "frames/sec", "vs_baseline": R}
+
+``vs_baseline`` compares against benchmarks/baseline.json (written on the
+first run; the reference publishes no numbers — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "baseline.json")
+
+
+def bench_train(batch_size: int = 128, warmup: int = 5, iters: int = 30):
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.training import build_model, init_state, make_train_step
+
+    cfg = get_config("celeba128").override(**{
+        "train.batch_size": batch_size})
+    model = build_model(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg, model), donate_argnums=(0,))
+
+    s = cfg.data.image_size
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(batch_size, 3, s, s), jnp.float32)
+    rng = jax.random.PRNGKey(1)
+
+    for _ in range(warmup):
+        state, m = step(state, images, rng)
+    np.asarray(m["loss"])          # true sync: block_until_ready is a no-op
+    t0 = time.perf_counter()       # through the axon tunnel (D2H fetch isn't)
+    for _ in range(iters):
+        state, m = step(state, images, rng)
+    np.asarray(m["loss"])
+    dt = time.perf_counter() - t0
+    return iters * batch_size / dt
+
+
+def bench_extract(batch_size: int = 256, warmup: int = 5, iters: int = 30):
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.training import build_model, init_state, make_extract_fn
+
+    cfg = get_config("celeba128")
+    model = build_model(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    extract = jax.jit(make_extract_fn(cfg, model))
+    s = cfg.data.image_size
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(batch_size, 3, s, s), jnp.float32)
+    for _ in range(warmup):
+        kp = extract(state.params, images)
+    np.asarray(kp[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        kp = extract(state.params, images)
+    np.asarray(kp[0, 0])
+    dt = time.perf_counter() - t0
+    return iters * batch_size / dt
+
+
+def main():
+    platform = jax.devices()[0].platform
+    batch = 128 if platform != "cpu" else 16
+    iters = 30 if platform != "cpu" else 5
+    train_fps = bench_train(batch_size=batch, iters=iters)
+    extract_ips = bench_extract(batch_size=2 * batch, iters=iters)
+
+    baseline = None
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            baseline = json.load(f).get("train_frames_per_sec_per_chip_128px")
+    else:
+        os.makedirs(os.path.dirname(BASELINE_PATH), exist_ok=True)
+        with open(BASELINE_PATH, "w") as f:
+            json.dump({"train_frames_per_sec_per_chip_128px": train_fps,
+                       "keypoint_extract_imgs_per_sec": extract_ips,
+                       "platform": platform}, f)
+
+    vs = train_fps / baseline if baseline else 1.0
+    print(json.dumps({
+        "metric": "train_frames_per_sec_per_chip_128px",
+        "value": round(train_fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(vs, 3),
+        "extra": {"keypoint_extract_imgs_per_sec": round(extract_ips, 1),
+                  "platform": platform, "batch": batch},
+    }))
+
+
+if __name__ == "__main__":
+    main()

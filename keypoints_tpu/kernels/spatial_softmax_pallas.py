@@ -1,0 +1,213 @@
+"""Fused Pallas soft-argmax: heatmaps → (x, y) in one VMEM pass.
+
+SURVEY.md §2.2 kernel #1 / north star [B:5]: the XLA path materializes the
+softmax probabilities in HBM and re-reads them for the coordinate
+expectations; this kernel reads each heatmap tile once into VMEM, computes
+max / exp / weighted reductions on the VPU, and writes two floats per
+keypoint.
+
+Layout (the part that matters on TPU): heatmaps are processed as a flat
+``(N, H*W)`` matrix, N = B*K. The spatial plane lives entirely on the lane
+axis — H*W is a multiple of 128 for every supported resolution (16²…256²) —
+so reductions are native cross-lane ops and no tile padding is wasted (a
+(R, H, W) 3-D block with W=64 would pad every row to 128 lanes and halve
+effective bandwidth). Coordinate planes are decoded in-kernel from a flat
+iota (ix = i mod W, iy = i div W); nothing but the heatmap crosses HBM.
+
+Both published variants (joint 2-D and marginal) have custom VJPs whose
+backwards are Pallas kernels too (softmax recomputed in-kernel — cheaper than
+saving probabilities to HBM, which would defeat the fusion). Forward/backward
+match ``keypoints_tpu.ops.spatial_softmax`` (the jnp oracle) to fp32
+tolerance; see tests/test_kernels.py.
+
+Mosaic constraints honored here: integer-only iota, no rank-1 intermediates,
+no multi-axis keepdims reductions (layout-inference crash on this version).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from keypoints_tpu.coords import DEFAULT_ALIGN_CORNERS
+
+_BLOCK_ROWS = 256
+
+
+def _flat_coord_planes(h: int, w: int, align_corners: bool):
+    """(1, H*W) x- and y-coordinate rows decoded from a flat integer iota."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, h * w), 1)
+    iy = (i // w).astype(jnp.float32)
+    ix = (i - (i // w) * w).astype(jnp.float32)
+    if align_corners:
+        ux = (-1.0 + 2.0 * ix / (w - 1)) if w > 1 else ix * 0.0
+        vy = (-1.0 + 2.0 * iy / (h - 1)) if h > 1 else iy * 0.0
+    else:
+        ux = -1.0 + (2.0 * ix + 1.0) / w
+        vy = -1.0 + (2.0 * iy + 1.0) / h
+    return ux, vy
+
+
+def _axis_vec(n: int, align_corners: bool) -> jnp.ndarray:
+    """[-1, 1] coordinates along one axis as a (1, n) f32 row vector."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
+    if align_corners:
+        return (-1.0 + 2.0 * i / (n - 1)) if n > 1 else jnp.zeros_like(i)
+    return -1.0 + (2.0 * i + 1.0) / n
+
+
+# --- joint 2-D variant (flat layout) ---------------------------------------
+
+def _joint_fwd_kernel(h_ref, out_ref, *, hw, temperature, align_corners):
+    x = h_ref[...].astype(jnp.float32) / temperature          # (R, HW)
+    ux, vy = _flat_coord_planes(*hw, align_corners)
+    m = jnp.max(x, axis=1, keepdims=True)                     # (R, 1)
+    e = jnp.exp(x - m)
+    s = jnp.sum(e, axis=1, keepdims=True)
+    ex = jnp.sum(e * ux, axis=1, keepdims=True) / s           # (R, 1)
+    ey = jnp.sum(e * vy, axis=1, keepdims=True) / s
+    out_ref[...] = jnp.concatenate([ex, ey], axis=1)
+
+
+def _joint_bwd_kernel(h_ref, kp_ref, g_ref, out_ref, *, hw, temperature,
+                      align_corners):
+    x = h_ref[...].astype(jnp.float32) / temperature
+    ux, vy = _flat_coord_planes(*hw, align_corners)
+    m = jnp.max(x, axis=1, keepdims=True)
+    e = jnp.exp(x - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)                 # (R, HW)
+    kp = kp_ref[...]                                          # (R, 2)
+    g = g_ref[...]
+    out_ref[...] = (p * (g[:, 0:1] * (ux - kp[:, 0:1])
+                         + g[:, 1:2] * (vy - kp[:, 1:2]))
+                    / temperature).astype(out_ref.dtype)
+
+
+# --- marginal variant (flat layout; marginals via masked segment sums) ------
+
+def _marginal_fwd_kernel(h_ref, out_ref, *, hw, temperature, align_corners):
+    hh, ww = hw
+    x = h_ref[...].astype(jnp.float32)                        # (R, HW)
+    r = x.shape[0]
+    # width marginal: sum rows of the (H, W) plane = segment-sum over lanes
+    # with stride W. Reshape (R, HW) -> (R*H, W) keeps lanes contiguous.
+    xw = x.reshape(r * hh, ww)
+    # height marginal: sum within each W-run -> (R*H, 1)
+    hy = jnp.sum(xw, axis=1, keepdims=True).reshape(r, hh) / temperature
+    hx = jnp.sum(x.reshape(r, hh, ww), axis=1) / temperature  # (R, W)
+    px = jax.nn.softmax(hx, axis=-1)
+    py = jax.nn.softmax(hy, axis=-1)
+    ex = jnp.sum(px * _axis_vec(ww, align_corners), axis=1, keepdims=True)
+    ey = jnp.sum(py * _axis_vec(hh, align_corners), axis=1, keepdims=True)
+    out_ref[...] = jnp.concatenate([ex, ey], axis=1)
+
+
+def _marginal_bwd_kernel(h_ref, kp_ref, g_ref, out_ref, *, hw, temperature,
+                         align_corners):
+    hh, ww = hw
+    x = h_ref[...].astype(jnp.float32)
+    r = x.shape[0]
+    hx = jnp.sum(x.reshape(r, hh, ww), axis=1) / temperature  # (R, W)
+    hy = jnp.sum(x.reshape(r * hh, ww), axis=1,
+                 keepdims=True).reshape(r, hh) / temperature  # (R, H)
+    px = jax.nn.softmax(hx, axis=-1)
+    py = jax.nn.softmax(hy, axis=-1)
+    kp = kp_ref[...]
+    g = g_ref[...]
+    dx = px * (_axis_vec(ww, align_corners) - kp[:, 0:1]) * g[:, 0:1] \
+        / temperature                                         # (R, W)
+    dy = py * (_axis_vec(hh, align_corners) - kp[:, 1:2]) * g[:, 1:2] \
+        / temperature                                         # (R, H)
+    dh = dx[:, None, :] + dy[:, :, None]                      # (R, H, W)
+    out_ref[...] = dh.reshape(r, hh * ww).astype(out_ref.dtype)
+
+
+# --- pallas_call plumbing ---------------------------------------------------
+
+def _flat_spec(block_rows, hw_total):
+    return pl.BlockSpec((block_rows, hw_total), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _kp_spec(block_rows):
+    return pl.BlockSpec((block_rows, 2), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _block_rows(n: int) -> int:
+    return min(_BLOCK_ROWS, max(8, n))
+
+
+def _fwd_call(kernel, flat, *, interpret):
+    n, hw_total = flat.shape
+    r = _block_rows(n)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 2), jnp.float32),
+        grid=(pl.cdiv(n, r),),
+        in_specs=[_flat_spec(r, hw_total)],
+        out_specs=_kp_spec(r),
+        interpret=interpret,
+    )(flat)
+
+
+def _bwd_call(kernel, flat, kp, g, *, interpret):
+    n, hw_total = flat.shape
+    r = _block_rows(n)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, hw_total), flat.dtype),
+        grid=(pl.cdiv(n, r),),
+        in_specs=[_flat_spec(r, hw_total), _kp_spec(r), _kp_spec(r)],
+        out_specs=_flat_spec(r, hw_total),
+        interpret=interpret,
+    )(flat, kp, g)
+
+
+def _make_op(fwd_kernel, bwd_kernel):
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+    def op(flat, hw, temperature, align_corners, interpret):
+        return _fwd_call(
+            functools.partial(fwd_kernel, hw=hw, temperature=temperature,
+                              align_corners=align_corners),
+            flat, interpret=interpret)
+
+    def fwd(flat, hw, temperature, align_corners, interpret):
+        kp = op(flat, hw, temperature, align_corners, interpret)
+        return kp, (flat, kp)
+
+    def bwd(hw, temperature, align_corners, interpret, res, g):
+        flat, kp = res
+        dh = _bwd_call(
+            functools.partial(bwd_kernel, hw=hw, temperature=temperature,
+                              align_corners=align_corners),
+            flat, kp, g, interpret=interpret)
+        return (dh,)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+_joint_op = _make_op(_joint_fwd_kernel, _joint_bwd_kernel)
+_marginal_op = _make_op(_marginal_fwd_kernel, _marginal_bwd_kernel)
+
+
+def spatial_softmax_pallas(heatmaps: jnp.ndarray, temperature: float = 1.0,
+                           variant: str = "marginal",
+                           align_corners: bool = DEFAULT_ALIGN_CORNERS,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Fused soft-argmax: (B, K, H, W) → (B, K, 2) in [-1, 1], (x, y) order.
+
+    Drop-in replacement for :func:`keypoints_tpu.ops.spatial_softmax`.
+    ``interpret=True`` runs the kernel in interpreter mode (CPU tests).
+    """
+    b, k, h, w = heatmaps.shape
+    flat = heatmaps.reshape(b * k, h * w)
+    op = {"joint": _joint_op, "marginal": _marginal_op}[variant]
+    kp = op(flat, (h, w), float(temperature), bool(align_corners),
+            bool(interpret))
+    return kp.reshape(b, k, 2)

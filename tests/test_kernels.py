@@ -1,0 +1,108 @@
+"""Pallas kernel unit tests vs jnp oracles (SURVEY.md §4.2).
+
+Kernels run in interpreter mode on CPU; the same code compiles on TPU
+(exercised by bench + a TPU smoke script). Edge cases: boundary keypoints,
+small sigma, flat heatmaps, non-multiple-of-block row counts.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keypoints_tpu.kernels.gaussian_pallas import gaussian_maps_pallas
+from keypoints_tpu.kernels.spatial_softmax_pallas import spatial_softmax_pallas
+from keypoints_tpu.ops.gaussian import gaussian_maps
+from keypoints_tpu.ops.spatial_softmax import spatial_softmax
+
+ATOL = 1e-5
+
+
+def rand(*shape, seed=0, scale=1.0):
+    return (np.random.RandomState(seed).randn(*shape) * scale).astype(
+        np.float32)
+
+
+@pytest.mark.parametrize("variant", ["joint", "marginal"])
+@pytest.mark.parametrize("align", [True, False])
+def test_softmax_forward_matches_oracle(variant, align):
+    h = jnp.asarray(rand(3, 5, 16, 24, seed=1, scale=3))   # 15 rows: pad case
+    got = spatial_softmax_pallas(h, 0.7, variant, align, interpret=True)
+    want = spatial_softmax(h, 0.7, variant, align)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=ATOL)
+
+
+@pytest.mark.parametrize("variant", ["joint", "marginal"])
+def test_softmax_grad_matches_oracle(variant):
+    h = jnp.asarray(rand(2, 3, 12, 16, seed=2, scale=3))
+    t = jnp.asarray(rand(2, 3, 2, seed=3))
+
+    def f_pallas(x):
+        kp = spatial_softmax_pallas(x, 1.3, variant, True, interpret=True)
+        return jnp.sum((kp - t) ** 2)
+
+    def f_oracle(x):
+        kp = spatial_softmax(x, 1.3, variant, True)
+        return jnp.sum((kp - t) ** 2)
+
+    g1 = jax.grad(f_pallas)(h)
+    g2 = jax.grad(f_oracle)(h)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_softmax_flat_heatmap_centers():
+    h = jnp.zeros((1, 1, 8, 8))
+    kp = spatial_softmax_pallas(h, 1.0, "joint", True, interpret=True)
+    np.testing.assert_allclose(np.asarray(kp), 0.0, atol=1e-6)
+
+
+def test_softmax_sharp_peak_at_boundary():
+    hm = np.full((1, 1, 16, 16), -30.0, np.float32)
+    hm[0, 0, 0, 15] = 30.0                                  # top-right corner
+    kp = np.asarray(spatial_softmax_pallas(jnp.asarray(hm), 1.0, "joint",
+                                           True, interpret=True))
+    np.testing.assert_allclose(kp[0, 0], [1.0, -1.0], atol=1e-4)
+
+
+@pytest.mark.parametrize("align", [True, False])
+@pytest.mark.parametrize("sigma", [0.02, 0.1, 0.5])
+def test_gaussian_forward_matches_oracle(align, sigma):
+    kp = jnp.asarray(np.clip(rand(3, 5, 2, seed=4), -1, 1))   # 15 rows
+    got = gaussian_maps_pallas(kp, 24, 16, sigma, align, interpret=True)
+    want = gaussian_maps(kp, 24, 16, sigma, align)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=ATOL)
+
+
+def test_gaussian_boundary_keypoints():
+    kp = jnp.asarray([[[-1.0, -1.0], [1.0, 1.0], [0.0, 0.0], [1.0, -1.0]]])
+    got = gaussian_maps_pallas(kp, 16, 16, 0.1, True, interpret=True)
+    want = gaussian_maps(kp, 16, 16, 0.1, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=ATOL)
+
+
+def test_gaussian_grad_matches_oracle():
+    kp = jnp.asarray(np.clip(rand(2, 4, 2, seed=5), -0.9, 0.9))
+    g_target = jnp.asarray(rand(2, 4, 12, 16, seed=6))
+
+    def f_pallas(k):
+        return jnp.sum(gaussian_maps_pallas(k, 12, 16, 0.15, True,
+                                            interpret=True) * g_target)
+
+    def f_oracle(k):
+        return jnp.sum(gaussian_maps(k, 12, 16, 0.15, True) * g_target)
+
+    g1 = jax.grad(f_pallas)(kp)
+    g2 = jax.grad(f_oracle)(kp)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_roundtrip_extract_rerender():
+    """softmax → raster composition (the fused hot pair) vs oracles."""
+    hm = jnp.asarray(rand(2, 4, 16, 16, seed=7, scale=4))
+    kp_p = spatial_softmax_pallas(hm, 0.5, "joint", True, interpret=True)
+    maps_p = gaussian_maps_pallas(kp_p, 16, 16, 0.1, True, interpret=True)
+    kp_o = spatial_softmax(hm, 0.5, "joint", True)
+    maps_o = gaussian_maps(kp_o, 16, 16, 0.1, True)
+    np.testing.assert_allclose(np.asarray(maps_p), np.asarray(maps_o),
+                               atol=1e-5)
