@@ -24,7 +24,11 @@ def _on_tpu() -> bool:
 def spatial_softmax(heatmaps: jnp.ndarray, temperature: float = 1.0,
                     variant: str = "marginal",
                     align_corners: bool = DEFAULT_ALIGN_CORNERS) -> jnp.ndarray:
-    if _on_tpu():
+    # Measured on TPU v5e (difference-method bench, 2026-08-16): the fused
+    # flat-layout joint kernel beats XLA ~1.8x fwd / ~1.4x vjp; the marginal
+    # variant's 3-D-block kernel loses to XLA's fused reduce (~2.9x), so the
+    # marginal path stays on XLA until the lane-segment-sum layout lands.
+    if _on_tpu() and variant == "joint":
         return spatial_softmax_pallas(heatmaps, temperature, variant,
                                       align_corners)
     return _softmax_jnp(heatmaps, temperature, variant, align_corners)

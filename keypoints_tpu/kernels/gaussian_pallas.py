@@ -55,7 +55,7 @@ def _bwd_kernel(kp_ref, g_ref, out_ref, *, hw, sigma, align_corners):
 def _raster_op(kp, hw, sigma, align_corners, interpret):
     n = kp.shape[0]
     hw_total = hw[0] * hw[1]
-    r = _block_rows(n)
+    r = _block_rows(n, hw_total)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, hw=hw, sigma=sigma,
                           align_corners=align_corners),
@@ -74,7 +74,7 @@ def _raster_fwd(kp, hw, sigma, align_corners, interpret):
 def _raster_bwd(hw, sigma, align_corners, interpret, kp, g):
     n = kp.shape[0]
     hw_total = hw[0] * hw[1]
-    r = _block_rows(n)
+    r = _block_rows(n, hw_total)
     dkp = pl.pallas_call(
         functools.partial(_bwd_kernel, hw=hw, sigma=sigma,
                           align_corners=align_corners),

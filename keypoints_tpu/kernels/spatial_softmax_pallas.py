@@ -87,18 +87,19 @@ def _joint_bwd_kernel(h_ref, kp_ref, g_ref, out_ref, *, hw, temperature,
                     / temperature).astype(out_ref.dtype)
 
 
-# --- marginal variant (flat layout; marginals via masked segment sums) ------
+# --- marginal variant (3-D blocks) ------------------------------------------
+# The marginal form needs row sums over H and column sums over W; on the flat
+# layout the H-reduction is a stride-W lane segment sum, and Mosaic rejects
+# the lane-splitting reshape (R, HW)->(R*H, W) ("unsupported shape cast").
+# So this variant keeps (R, H, W) blocks: H on sublanes, W on lanes — both
+# marginals are then native single-axis reductions. W<128 pads lanes, but the
+# marginal math is one pass over the data either way.
 
-def _marginal_fwd_kernel(h_ref, out_ref, *, hw, temperature, align_corners):
-    hh, ww = hw
-    x = h_ref[...].astype(jnp.float32)                        # (R, HW)
-    r = x.shape[0]
-    # width marginal: sum rows of the (H, W) plane = segment-sum over lanes
-    # with stride W. Reshape (R, HW) -> (R*H, W) keeps lanes contiguous.
-    xw = x.reshape(r * hh, ww)
-    # height marginal: sum within each W-run -> (R*H, 1)
-    hy = jnp.sum(xw, axis=1, keepdims=True).reshape(r, hh) / temperature
-    hx = jnp.sum(x.reshape(r, hh, ww), axis=1) / temperature  # (R, W)
+def _marginal_fwd_kernel(h_ref, out_ref, *, temperature, align_corners):
+    x = h_ref[...].astype(jnp.float32)                        # (R, H, W)
+    _, hh, ww = x.shape
+    hx = jnp.sum(x, axis=1) / temperature                     # (R, W)
+    hy = jnp.sum(x, axis=2) / temperature                     # (R, H)
     px = jax.nn.softmax(hx, axis=-1)
     py = jax.nn.softmax(hy, axis=-1)
     ex = jnp.sum(px * _axis_vec(ww, align_corners), axis=1, keepdims=True)
@@ -106,24 +107,21 @@ def _marginal_fwd_kernel(h_ref, out_ref, *, hw, temperature, align_corners):
     out_ref[...] = jnp.concatenate([ex, ey], axis=1)
 
 
-def _marginal_bwd_kernel(h_ref, kp_ref, g_ref, out_ref, *, hw, temperature,
+def _marginal_bwd_kernel(h_ref, kp_ref, g_ref, out_ref, *, temperature,
                          align_corners):
-    hh, ww = hw
-    x = h_ref[...].astype(jnp.float32)
-    r = x.shape[0]
-    hx = jnp.sum(x.reshape(r, hh, ww), axis=1) / temperature  # (R, W)
-    hy = jnp.sum(x.reshape(r * hh, ww), axis=1,
-                 keepdims=True).reshape(r, hh) / temperature  # (R, H)
-    px = jax.nn.softmax(hx, axis=-1)
-    py = jax.nn.softmax(hy, axis=-1)
+    x = h_ref[...].astype(jnp.float32)                        # (R, H, W)
+    _, hh, ww = x.shape
+    hx = jnp.sum(x, axis=1) / temperature
+    hy = jnp.sum(x, axis=2) / temperature
+    px = jax.nn.softmax(hx, axis=-1)                          # (R, W)
+    py = jax.nn.softmax(hy, axis=-1)                          # (R, H)
     kp = kp_ref[...]
     g = g_ref[...]
     dx = px * (_axis_vec(ww, align_corners) - kp[:, 0:1]) * g[:, 0:1] \
         / temperature                                         # (R, W)
     dy = py * (_axis_vec(hh, align_corners) - kp[:, 1:2]) * g[:, 1:2] \
         / temperature                                         # (R, H)
-    dh = dx[:, None, :] + dy[:, :, None]                      # (R, H, W)
-    out_ref[...] = dh.reshape(r, hh * ww).astype(out_ref.dtype)
+    out_ref[...] = (dx[:, None, :] + dy[:, :, None]).astype(out_ref.dtype)
 
 
 # --- pallas_call plumbing ---------------------------------------------------
@@ -133,67 +131,83 @@ def _flat_spec(block_rows, hw_total):
                         memory_space=pltpu.VMEM)
 
 
+def _vol_spec(block_rows, h, w):
+    return pl.BlockSpec((block_rows, h, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def _kp_spec(block_rows):
     return pl.BlockSpec((block_rows, 2), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _block_rows(n: int) -> int:
-    return min(_BLOCK_ROWS, max(8, n))
+def _block_rows(n: int, hw_total: int = 4096) -> int:
+    # ≥2 blocks in the grid so Mosaic double-buffers the row DMA against
+    # compute, and block bytes capped so in+out tiles (+double buffers)
+    # stay inside the 16 MB VMEM: 4 buffers × rows × hw × 4 B ≤ ~8 MB.
+    by_bytes = max(8, (8 << 20) // (4 * 4 * hw_total))
+    return max(8, min(_BLOCK_ROWS, by_bytes,
+                      n // 2 if n >= 16 else n))
 
 
-def _fwd_call(kernel, flat, *, interpret):
-    n, hw_total = flat.shape
-    r = _block_rows(n)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n, 2), jnp.float32),
-        grid=(pl.cdiv(n, r),),
-        in_specs=[_flat_spec(r, hw_total)],
-        out_specs=_kp_spec(r),
-        interpret=interpret,
-    )(flat)
+def _make_op(fwd_kernel, bwd_kernel, flat_layout):
+    """Build the custom-vjp op; ``flat_layout`` picks (N,HW) vs (N,H,W)."""
 
+    def specs(n, h, w, r):
+        if flat_layout:
+            return _flat_spec(r, h * w), (n, h * w)
+        return _vol_spec(r, h, w), (n, h, w)
 
-def _bwd_call(kernel, flat, kp, g, *, interpret):
-    n, hw_total = flat.shape
-    r = _block_rows(n)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n, hw_total), flat.dtype),
-        grid=(pl.cdiv(n, r),),
-        in_specs=[_flat_spec(r, hw_total), _kp_spec(r), _kp_spec(r)],
-        out_specs=_flat_spec(r, hw_total),
-        interpret=interpret,
-    )(flat, kp, g)
-
-
-def _make_op(fwd_kernel, bwd_kernel):
     @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-    def op(flat, hw, temperature, align_corners, interpret):
-        return _fwd_call(
-            functools.partial(fwd_kernel, hw=hw, temperature=temperature,
-                              align_corners=align_corners),
-            flat, interpret=interpret)
+    def op(heatmaps, hw, temperature, align_corners, interpret):
+        h, w = hw
+        n = heatmaps.shape[0]
+        r = _block_rows(n, h * w)
+        kern = functools.partial(fwd_kernel, temperature=temperature,
+                                 align_corners=align_corners)
+        if flat_layout:
+            kern = functools.partial(kern, hw=hw)
+        data_spec, shape = specs(n, h, w, r)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((n, 2), jnp.float32),
+            grid=(pl.cdiv(n, r),),
+            in_specs=[data_spec],
+            out_specs=_kp_spec(r),
+            interpret=interpret,
+        )(heatmaps.reshape(shape))
 
-    def fwd(flat, hw, temperature, align_corners, interpret):
-        kp = op(flat, hw, temperature, align_corners, interpret)
-        return kp, (flat, kp)
+    def fwd(heatmaps, hw, temperature, align_corners, interpret):
+        kp = op(heatmaps, hw, temperature, align_corners, interpret)
+        return kp, (heatmaps, kp)
 
     def bwd(hw, temperature, align_corners, interpret, res, g):
-        flat, kp = res
-        dh = _bwd_call(
-            functools.partial(bwd_kernel, hw=hw, temperature=temperature,
-                              align_corners=align_corners),
-            flat, kp, g, interpret=interpret)
-        return (dh,)
+        heatmaps, kp = res
+        h, w = hw
+        n = heatmaps.shape[0]
+        r = _block_rows(n, h * w)
+        kern = functools.partial(bwd_kernel, temperature=temperature,
+                                 align_corners=align_corners)
+        if flat_layout:
+            kern = functools.partial(kern, hw=hw)
+        data_spec, shape = specs(n, h, w, r)
+        dh = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(shape, heatmaps.dtype),
+            grid=(pl.cdiv(n, r),),
+            in_specs=[data_spec, _kp_spec(r), _kp_spec(r)],
+            out_specs=data_spec,
+            interpret=interpret,
+        )(heatmaps.reshape(shape), kp, g)
+        return (dh.reshape(heatmaps.shape),)
 
     op.defvjp(fwd, bwd)
     return op
 
 
-_joint_op = _make_op(_joint_fwd_kernel, _joint_bwd_kernel)
-_marginal_op = _make_op(_marginal_fwd_kernel, _marginal_bwd_kernel)
+_joint_op = _make_op(_joint_fwd_kernel, _joint_bwd_kernel, flat_layout=True)
+_marginal_op = _make_op(_marginal_fwd_kernel, _marginal_bwd_kernel,
+                        flat_layout=False)
 
 
 def spatial_softmax_pallas(heatmaps: jnp.ndarray, temperature: float = 1.0,

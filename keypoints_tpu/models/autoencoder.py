@@ -23,8 +23,9 @@ from flax import linen as nn
 
 from keypoints_tpu.coords import DEFAULT_ALIGN_CORNERS
 from keypoints_tpu.models.nets import Decoder, Encoder, KeyNet
-from keypoints_tpu.ops.gaussian import gaussian_maps
-from keypoints_tpu.ops.spatial_softmax import spatial_softmax
+# kernels.* dispatch to the fused Pallas kernels on TPU (joint softmax,
+# Gaussian raster) and to the pure-jnp oracles elsewhere.
+from keypoints_tpu.kernels import gaussian_maps, spatial_softmax
 
 
 class KeypointAutoencoder(nn.Module):

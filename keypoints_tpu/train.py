@@ -113,6 +113,10 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
             last_t, last_step = now, step
             lv = float(np.asarray(metrics["loss"]))
             gn = float(np.asarray(metrics["grad_norm"]))
+            if not (np.isfinite(lv) and np.isfinite(gn)):
+                raise FloatingPointError(
+                    f"training diverged at step {step}: loss={lv} grad={gn}; "
+                    f"restart from the last checkpoint with a lower lr")
             print(f"step {step:6d} loss {lv:.5f} grad {gn:.3f} "
                   f"frames/s {fps:.0f}")
             log.scalars(step, loss=lv, grad_norm=gn, frames_per_sec=fps)
@@ -140,6 +144,8 @@ def main(argv=None):
                    help="dotted overrides, e.g. train.lr=3e-4")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--logdir", default=None)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace for the first 20 steps")
     args = p.parse_args(argv)
 
     cfg = get_config(args.preset)
@@ -155,7 +161,13 @@ def main(argv=None):
         overrides["train.steps"] = args.steps
     if overrides:
         cfg = cfg.override(**overrides)
-    train(cfg, args.logdir)
+    if args.profile:
+        from keypoints_tpu.utils.profiling import trace
+        with trace(args.profile):
+            train(cfg.override(**{"train.steps": min(cfg.train.steps, 20)}),
+                  args.logdir)
+    else:
+        train(cfg, args.logdir)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,107 @@
+"""Full-model golden parity (SURVEY.md §4.1 / BASELINE.json:5).
+
+Convert the golden torch autoencoder's weights into the flax model and demand
+forward-pass agreement: reconstruction to fp32 tolerance, keypoint coords to
+<1e-3 L2 on a fixed eval batch — the project's binding parity bars.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from keypoints_tpu.checkpoint import (assert_tree_shapes_match,
+                                      convert_torch_state_dict)
+from keypoints_tpu.configs import get_config
+from keypoints_tpu.training import build_model
+from tests.golden.torch_model import (TorchKeypointAutoencoder,
+                                      rename_map_for_flax)
+
+FILTERS = (16, 32)
+STRIDES = (2, 2)
+DEC_FILTERS = (32, 16)
+DEC_UP = (True, True)
+
+
+def _flax_params_from_torch(tnet):
+    converted = convert_torch_state_dict(tnet.state_dict(),
+                                         rename=rename_map_for_flax())
+    return converted
+
+
+@pytest.mark.parametrize("variant", ["marginal", "joint"])
+def test_full_forward_parity(variant):
+    torch.manual_seed(0)
+    tnet = TorchKeypointAutoencoder(
+        num_keypoints=4, in_channels=1, out_channels=1, sigma=0.12,
+        temperature=0.8, variant=variant, encoder_filters=FILTERS,
+        encoder_strides=STRIDES, decoder_filters=DEC_FILTERS,
+        decoder_upsample=DEC_UP, groups=4).eval()
+
+    cfg = get_config("pong64").override(**{
+        "model.encoder_filters": FILTERS,
+        "model.encoder_strides": STRIDES,
+        "model.decoder_filters": DEC_FILTERS,
+        "model.decoder_upsample": DEC_UP,
+        "model.groups": 4,
+        "model.num_keypoints": 4,
+        "model.sigma": 0.12,
+        "model.temperature": 0.8,
+        "model.softmax_variant": variant,
+        "data.image_size": 32,
+        "train.compute_dtype": "float32"})
+    model = build_model(cfg)
+
+    x = jnp.zeros((1, 1, 32, 32))
+    ref = model.init(jax.random.PRNGKey(0), x, x)["params"]
+    params = _flax_params_from_torch(tnet)
+    assert_tree_shapes_match(params, ref)
+
+    rs = np.random.RandomState(3)
+    src = rs.rand(4, 1, 32, 32).astype(np.float32)
+    tgt = rs.rand(4, 1, 32, 32).astype(np.float32)
+
+    with torch.no_grad():
+        want_recon, want_kp = tnet(torch.tensor(src), torch.tensor(tgt))
+    got_recon, got_kp = model.apply({"params": params},
+                                    jnp.asarray(src), jnp.asarray(tgt))
+
+    # keypoint parity: < 1e-3 L2 per keypoint (the BASELINE bar, with huge
+    # margin — identical fp32 math should agree to ~1e-6)
+    l2 = np.linalg.norm(np.asarray(got_kp) - want_kp.numpy(), axis=-1)
+    assert l2.max() < 1e-3, l2.max()
+    np.testing.assert_allclose(np.asarray(got_recon), want_recon.numpy(),
+                               atol=5e-5)
+
+    # loss parity within fp32 tolerance
+    t_loss = float(((want_recon - torch.tensor(tgt)) ** 2).mean())
+    j_loss = float(jnp.mean((got_recon - jnp.asarray(tgt)) ** 2))
+    assert abs(t_loss - j_loss) < 1e-6
+
+
+def test_extract_keypoints_parity():
+    torch.manual_seed(1)
+    tnet = TorchKeypointAutoencoder(
+        num_keypoints=4, in_channels=1, out_channels=1,
+        encoder_filters=FILTERS, encoder_strides=STRIDES,
+        decoder_filters=DEC_FILTERS, decoder_upsample=DEC_UP,
+        groups=4).eval()
+    cfg = get_config("pong64").override(**{
+        "model.encoder_filters": FILTERS,
+        "model.encoder_strides": STRIDES,
+        "model.decoder_filters": DEC_FILTERS,
+        "model.decoder_upsample": DEC_UP,
+        "model.groups": 4,
+        "data.image_size": 32,
+        "train.compute_dtype": "float32"})
+    model = build_model(cfg)
+    params = _flax_params_from_torch(tnet)
+
+    x = np.random.RandomState(5).rand(8, 1, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want = tnet.extract_keypoints(torch.tensor(x)).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x),
+                                 method=model.extract_keypoints))
+    assert np.linalg.norm(got - want, axis=-1).max() < 1e-3

@@ -50,11 +50,15 @@ def test_dp_step_matches_single_device():
     dp = make_dp_train_step(cfg, mesh)
     s2, m2 = dp(state_r, shard_batch(mesh, batch), jax.random.PRNGKey(3))
 
-    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-5)
+    # pmean over 8 shards reorders the fp32 reduction vs the global mean;
+    # agreement is to relative fp32 tolerance, not bitwise.
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5, atol=1e-5)
     flat1 = jax.tree_util.tree_leaves(s1.params)
     flat2 = jax.tree_util.tree_leaves(s2.params)
     for a, b in zip(flat1, flat2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5)
 
 
 def test_dp_warp_mode_runs_with_decorrelated_rng():

@@ -1,0 +1,80 @@
+"""Tests for debug guards, profiling utils, viz, and the eval harness."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keypoints_tpu.configs import get_config
+from keypoints_tpu.eval import coordinate_parity, evaluate
+from keypoints_tpu.training import build_model, init_state
+from keypoints_tpu.utils.debug import assert_batch, assert_finite
+from keypoints_tpu.utils.profiling import StepTimer, fetch_sync, timed
+from keypoints_tpu.viz import image_grid, overlay_keypoints, side_by_side
+
+
+def test_assert_finite_raises():
+    ok = {"a": jnp.ones(3), "b": {"c": jnp.zeros(2)}}
+    assert_finite(ok)
+    bad = {"a": jnp.array([1.0, jnp.nan])}
+    with pytest.raises(FloatingPointError, match="a"):
+        assert_finite(bad, "params")
+
+
+def test_assert_batch():
+    assert_batch(jnp.zeros((2, 3, 8, 8)), channels=3, size=8)
+    with pytest.raises(AssertionError):
+        assert_batch(jnp.zeros((2, 1, 8, 8)), channels=3, size=8)
+
+
+def test_timed_and_fetch_sync():
+    f = jax.jit(lambda x: x * 2)
+    dt, out = timed(f, jnp.ones(16), reps=2)
+    assert dt >= 0
+    fetch_sync({"a": out})
+
+
+def test_step_timer():
+    t = StepTimer(batch_size=10)
+    assert t.mark(5) > 0
+
+
+def test_viz_shapes():
+    imgs = np.random.RandomState(0).rand(4, 1, 16, 16).astype(np.float32)
+    kp = np.array([[[0.0, 0.0], [1.0, 1.0], [-1.0, -1.0], [2.0, 0.0]]] * 4)
+    over = overlay_keypoints(imgs, kp)
+    assert over.shape == (4, 16, 16, 3)
+    # out-of-bounds keypoint (2.0, 0) silently skipped
+    grid = image_grid(over, cols=2)
+    assert grid.shape == (2 * 16, 2 * 16, 3)
+    sbs = side_by_side(over, over)
+    assert sbs.shape == (4, 16, 32, 3)
+
+
+def test_evaluate_metrics():
+    cfg = get_config("pong64").override(**{
+        "model.encoder_filters": (8, 16),
+        "model.encoder_strides": (2, 2),
+        "model.decoder_filters": (16, 8),
+        "model.decoder_upsample": (True, True),
+        "model.groups": 4,
+        "data.image_size": 32,
+        "train.compute_dtype": "float32"})
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    rs = np.random.RandomState(0)
+    src = jnp.asarray(rs.rand(4, 1, 32, 32), jnp.float32)
+    tgt = jnp.asarray(rs.rand(4, 1, 32, 32), jnp.float32)
+    pos = rs.uniform(-1, 1, (4, 4, 2)).astype(np.float32)
+    m = evaluate(cfg, state.params, src, tgt, true_positions=pos)
+    for k in ("eval_loss", "keypoint_spread", "keypoint_in_bounds",
+              "locking_median", "locking_mean"):
+        assert np.isfinite(m[k]), k
+
+    # parity helper: golden == the model itself → parity 0
+    from keypoints_tpu.training import make_extract_fn
+    model = build_model(cfg)
+    extract = jax.jit(make_extract_fn(cfg, model))
+    golden = lambda imgs: np.asarray(extract(state.params, jnp.asarray(imgs)))
+    assert coordinate_parity(cfg, state.params, golden,
+                             np.asarray(src)) < 1e-6
