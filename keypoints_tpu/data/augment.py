@@ -22,8 +22,12 @@ import jax
 import jax.numpy as jnp
 
 from keypoints_tpu.coords import DEFAULT_ALIGN_CORNERS, axis_coords
+# warp_sample dispatches to the fused Pallas warp kernel on TPU (5x faster
+# than the XLA gather); augmentation takes no gradients so the forward-only
+# kernel is safe here.
+from keypoints_tpu.kernels import warp_sample
 from keypoints_tpu.ops.color import color_jitter
-from keypoints_tpu.ops.warp import grid_sample, tps_grid
+from keypoints_tpu.ops.warp import tps_grid
 
 
 class WarpConfig(NamedTuple):
@@ -81,7 +85,7 @@ def make_pair(key: jax.Array, image: jnp.ndarray,
     out = []
     for kw, kc in ((ks, kc_s), (kt, kc_t)):
         grid = random_warp_grid(kw, b, h, w, cfg, align_corners)
-        warped = grid_sample(image, grid, padding_mode="border",
+        warped = warp_sample(image, grid, padding_mode="border",
                              align_corners=align_corners)
         out.append(color_jitter(kc, warped, cfg.brightness, cfg.contrast,
                                 cfg.saturation))

@@ -13,8 +13,11 @@ import jax.numpy as jnp
 from keypoints_tpu.coords import DEFAULT_ALIGN_CORNERS
 from keypoints_tpu.kernels.gaussian_pallas import gaussian_maps_pallas
 from keypoints_tpu.kernels.spatial_softmax_pallas import spatial_softmax_pallas
+from keypoints_tpu.kernels.warp_pallas import (MAX_LANES, _ROWS_PER_PROGRAM,
+                                               warp_bilinear_pallas)
 from keypoints_tpu.ops.gaussian import gaussian_maps as _gaussian_jnp
 from keypoints_tpu.ops.spatial_softmax import spatial_softmax as _softmax_jnp
+from keypoints_tpu.ops.warp import grid_sample as _grid_sample_jnp
 
 
 def _on_tpu() -> bool:
@@ -43,5 +46,24 @@ def gaussian_maps(keypoints: jnp.ndarray, height: int, width: int,
     return _gaussian_jnp(keypoints, height, width, sigma, align_corners)
 
 
-__all__ = ["spatial_softmax", "gaussian_maps", "spatial_softmax_pallas",
-           "gaussian_maps_pallas"]
+def warp_sample(image: jnp.ndarray, grid: jnp.ndarray,
+                padding_mode: str = "zeros",
+                align_corners: bool = DEFAULT_ALIGN_CORNERS) -> jnp.ndarray:
+    """Bilinear warp for the *data path* (augmentation — no gradient).
+
+    Dispatches to the fused Pallas warp on TPU (measured 5x faster than XLA's
+    element gather at 128²; see kernels/warp_pallas.py) when the shape fits
+    its one-lane-tile constraint; everywhere else — CPU, >128-wide images,
+    or paths needing gradients — use :func:`keypoints_tpu.ops.warp.grid_sample`.
+    """
+    b, c, h, w = image.shape
+    ho, wo = grid.shape[1:3]
+    if (_on_tpu() and w <= MAX_LANES and wo <= MAX_LANES
+            and ho % _ROWS_PER_PROGRAM == 0):
+        return warp_bilinear_pallas(image, grid, padding_mode, align_corners)
+    return _grid_sample_jnp(image, grid, padding_mode, align_corners)
+
+
+__all__ = ["spatial_softmax", "gaussian_maps", "warp_sample",
+           "spatial_softmax_pallas", "gaussian_maps_pallas",
+           "warp_bilinear_pallas"]

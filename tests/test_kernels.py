@@ -106,3 +106,36 @@ def test_roundtrip_extract_rerender():
     maps_o = gaussian_maps(kp_o, 16, 16, 0.1, True)
     np.testing.assert_allclose(np.asarray(maps_p), np.asarray(maps_o),
                                atol=1e-5)
+
+
+# --- warp kernel ------------------------------------------------------------
+
+from keypoints_tpu.kernels.warp_pallas import warp_bilinear_pallas  # noqa: E402
+from keypoints_tpu.ops.warp import grid_sample  # noqa: E402
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+@pytest.mark.parametrize("align", [True, False])
+def test_warp_matches_grid_sample(padding, align):
+    rs = np.random.RandomState(11)
+    img = jnp.asarray(rs.rand(2, 3, 32, 48), jnp.float32)
+    # includes out-of-bounds points and exact-boundary points
+    grid = jnp.asarray(rs.rand(2, 24, 40, 2) * 2.4 - 1.2, jnp.float32)
+    got = warp_bilinear_pallas(img, grid, padding, align, interpret=True)
+    want = grid_sample(img, grid, padding, align)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_warp_identity_grid():
+    from keypoints_tpu.coords import coord_grid
+    img = jnp.asarray(np.random.RandomState(12).rand(1, 1, 16, 16), jnp.float32)
+    ident = jnp.broadcast_to(coord_grid(16, 16)[None], (1, 16, 16, 2))
+    out = warp_bilinear_pallas(img, ident, "border", True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_warp_rejects_wide_images():
+    img = jnp.zeros((1, 1, 8, 256))
+    grid = jnp.zeros((1, 8, 8, 2))
+    with pytest.raises(ValueError, match="W,Wo<=128"):
+        warp_bilinear_pallas(img, grid)
