@@ -75,6 +75,19 @@ def random_warp_grid(key: jax.Array, batch: int, height: int, width: int,
                     align_corners=align_corners)
 
 
+def warp_y_window(cfg: WarpConfig, height: int) -> int:
+    """Proven per-output-row vertical source spread in pixels.
+
+    Over one output row, y' = sin(θ)·x + cos(θ)·s·y + t_y + tps(x, y): the
+    only x-dependent terms are sin(θ)·x (spread 2·sin rotate over x∈[-1,1])
+    and the TPS perturbation (≤ ~6·tps_scale peak-to-peak at 3σ); scale and
+    translation are constant along the row. +4 rows bilinear/rounding margin.
+    """
+    import math
+    spread = (2.0 * math.sin(cfg.rotate) + 6.0 * cfg.tps_scale) * height / 2.0
+    return int(math.ceil(spread)) + 4
+
+
 def make_pair(key: jax.Array, image: jnp.ndarray,
               cfg: WarpConfig = WarpConfig(),
               align_corners: bool = DEFAULT_ALIGN_CORNERS
@@ -86,7 +99,8 @@ def make_pair(key: jax.Array, image: jnp.ndarray,
     for kw, kc in ((ks, kc_s), (kt, kc_t)):
         grid = random_warp_grid(kw, b, h, w, cfg, align_corners)
         warped = warp_sample(image, grid, padding_mode="border",
-                             align_corners=align_corners)
+                             align_corners=align_corners,
+                             y_window=warp_y_window(cfg, h))
         out.append(color_jitter(kc, warped, cfg.brightness, cfg.contrast,
                                 cfg.saturation))
     return out[0], out[1]

@@ -14,11 +14,11 @@ TPU-native primitives:
   stack. That's H multiply-adds per output pixel on the VPU, which at
   H=128 is still ~50× cheaper than XLA's scalar gather.
 
-Constraints: W ≤ 128 and Wo ≤ 128 (one lane tile — the Mosaic lane gather is
-within-tile; measured: any sublane count works, 256 lanes crashes). The
-dispatcher falls back to the XLA path beyond that (256² images) until the
-multi-tile select lands. Forward-only: augmentation is data, nothing
-differentiates through it (the differentiable op is ``ops.warp.grid_sample``).
+Widths beyond one 128-lane tile (the Mosaic lane gather is within-tile)
+are handled by gathering per (input-tile × output-chunk) pair with selects —
+supported up to 512 (2× gather cost at 256², the widest shipped config).
+Forward-only: augmentation is data, nothing differentiates through it (the
+differentiable op is ``ops.warp.grid_sample``).
 
 Semantics match ``torch.nn.functional.grid_sample`` (bilinear,
 padding_mode ∈ {zeros, border}, explicit align_corners) exactly — verified
@@ -48,20 +48,20 @@ def _unnormalize(coord, size, align_corners):
 _ROWS_PER_PROGRAM = 8  # out-block second-to-last dim must be divisible by 8
 
 
-def _warp_kernel(img_ref, grid_ref, out_ref, *, padding_mode, align_corners):
+def _warp_kernel(img_ref, grid_ref, out_ref, *, padding_mode, align_corners,
+                 y_window):
     """One program per (batch, 8-output-row block): the image block's
     index_map is constant across the row dimension, so Mosaic keeps it
     resident in VMEM while only the small grid/out row blocks stream."""
     _, c, h, w = img_ref.shape
     _, rows, wo, _ = grid_ref.shape
-    img2 = img_ref[0].reshape(c * h, w)                   # (C·H, W)
     for r in range(rows):
-        _warp_one_row(img2, grid_ref, out_ref, r, c, h, w, wo,
-                      padding_mode, align_corners)
+        _warp_one_row(img_ref, grid_ref, out_ref, r, c, h, w, wo,
+                      padding_mode, align_corners, y_window)
 
 
-def _warp_one_row(img2, grid_ref, out_ref, r, c, h, w, wo,
-                  padding_mode, align_corners):
+def _warp_one_row(img_ref, grid_ref, out_ref, r, c, h, w, wo,
+                  padding_mode, align_corners, y_window):
     g = grid_ref[0, r]                                    # (Wo, 2)
     ix = _unnormalize(g[:, 0:1].reshape(1, wo), w, align_corners)  # (1, Wo)
     iy = _unnormalize(g[:, 1:2].reshape(1, wo), h, align_corners)
@@ -74,11 +74,33 @@ def _warp_one_row(img2, grid_ref, out_ref, r, c, h, w, wo,
     fy = iy - y0f
 
     def lane_gather(xc, wgt):
-        """x-corner contribution: (C·H, Wo) gathered at column xc."""
+        """x-corner contribution: (C·win, Wo) gathered at column xc.
+
+        Mosaic's dynamic lane shuffle is within one 128-lane tile, so wider
+        images gather per (input-tile × output-chunk) pair with a select —
+        cost scales with ceil(W/128) (2× at 256², the widest config)."""
         xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
-        idx = jnp.broadcast_to(xi, (c * h, wo))
-        return (jnp.take_along_axis(img2, idx, axis=1)
-                * wgt.astype(jnp.float32))
+        idx = jnp.broadcast_to(xi, (c * win, wo))
+        wgt = jnp.broadcast_to(wgt.astype(jnp.float32), (c * win, wo))
+        out_chunks = []
+        for jo in range(0, wo, MAX_LANES):
+            jo_end = min(jo + MAX_LANES, wo)
+            idx_t = idx[:, jo:jo_end]
+            acc = None
+            for ji in range(0, w, MAX_LANES):
+                ji_end = min(ji + MAX_LANES, w)
+                local = jnp.clip(idx_t - ji, 0, ji_end - ji - 1)
+                part = jnp.take_along_axis(img2[:, ji:ji_end], local, axis=1)
+                if acc is None:
+                    acc = part          # single-tile: select is a no-op
+                    if w > MAX_LANES:
+                        acc = jnp.where(idx_t < ji_end, part, 0.0)
+                else:
+                    acc = jnp.where((idx_t >= ji) & (idx_t < ji_end),
+                                    part, acc)
+            out_chunks.append(acc * wgt[:, jo:jo_end])
+        return (out_chunks[0] if len(out_chunks) == 1
+                else jnp.concatenate(out_chunks, axis=1))
 
     if padding_mode == "zeros":
         wx0 = jnp.where((x0f >= 0) & (x0f <= w - 1), 1.0 - fx, 0.0)
@@ -86,10 +108,22 @@ def _warp_one_row(img2, grid_ref, out_ref, r, c, h, w, wo,
     else:
         wx0, wx1 = 1.0 - fx, fx
 
-    hx = lane_gather(x0f, wx0) + lane_gather(x0f + 1.0, wx1)
-    hx = hx.reshape(c, h, wo)                             # x-interp columns
+    # Vertical window: the y-mask-reduce only needs rows touched by this
+    # output row. With a caller-guaranteed displacement bound (augment.py
+    # computes one from its WarpConfig) we slice a y_window-row band out of
+    # the image instead of reducing over all H — a ~H/window speedup.
+    if y_window is not None and y_window < h:
+        win = y_window
+        start = jnp.clip(jnp.min(y0f).astype(jnp.int32), 0, h - win)
+    else:
+        win = h
+        start = 0
+    img2 = img_ref[0, :, pl.ds(start, win), :].reshape(c * win, w)
 
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
+    hx = lane_gather(x0f, wx0) + lane_gather(x0f + 1.0, wx1)
+    hx = hx.reshape(c, win, wo)                           # x-interp columns
+
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) + start
     y0 = jnp.clip(y0f, 0.0, h - 1).astype(jnp.int32)[:, None, :]   # (1,1,Wo)
     y1 = jnp.clip(y0f + 1.0, 0.0, h - 1).astype(jnp.int32)[:, None, :]
     if padding_mode == "zeros":
@@ -108,24 +142,35 @@ def _warp_one_row(img2, grid_ref, out_ref, r, c, h, w, wo,
 def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
                          padding_mode: str = "zeros",
                          align_corners: bool = DEFAULT_ALIGN_CORNERS,
+                         y_window: int | None = None,
                          interpret: bool = False) -> jnp.ndarray:
     """Fused bilinear sampling: image (B,C,H,W), grid (B,Ho,Wo,2) → (B,C,Ho,Wo).
 
-    Forward-only (see module docstring); W and Wo must be ≤128.
+    Forward-only (see module docstring); W and Wo must be ≤512.
+
+    ``y_window``: optional static bound on the vertical source spread of any
+    single output row (in pixels, rounded up to a multiple of 8 internally).
+    When the caller can guarantee ``max_j y(i,j) - min_j y(i,j) + 2 <=
+    y_window`` (augment.py derives this from its WarpConfig), the vertical
+    reduce runs over a y_window-row band instead of all H — ~H/y_window
+    faster. Source rows outside the band contribute zero, so an
+    under-estimated window silently degrades: only pass a proven bound.
     """
     b, c, h, w = image.shape
     _, ho, wo, _ = grid.shape
-    if w > MAX_LANES or wo > MAX_LANES:
-        raise ValueError(f"warp_bilinear_pallas needs W,Wo<=128; got {w},{wo}"
-                         " (use ops.warp.grid_sample)")
+    if w > 4 * MAX_LANES or wo > 4 * MAX_LANES:
+        raise ValueError(f"warp_bilinear_pallas supports W,Wo<=512; got "
+                         f"{w},{wo} (use ops.warp.grid_sample)")
     if padding_mode not in ("zeros", "border"):
         raise ValueError(f"unsupported padding_mode {padding_mode!r}")
     if ho % _ROWS_PER_PROGRAM:
         raise ValueError(f"output height must be a multiple of "
                          f"{_ROWS_PER_PROGRAM}; got {ho}")
 
+    if y_window is not None:
+        y_window = min(h, max(8, -(-int(y_window) // 8) * 8))
     kern = functools.partial(_warp_kernel, padding_mode=padding_mode,
-                             align_corners=align_corners)
+                             align_corners=align_corners, y_window=y_window)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, c, ho, wo), image.dtype),

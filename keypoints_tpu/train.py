@@ -76,7 +76,12 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
     loss = make_loss(cfg)
     state = init_state(cfg, jax.random.PRNGKey(t.seed))
 
-    dp = t.data_parallel and len(jax.devices()) > 1
+    n_dev = len(jax.devices())
+    dp = t.data_parallel and n_dev > 1
+    if dp and t.batch_size % n_dev != 0:
+        print(f"data_parallel off: batch {t.batch_size} not divisible by "
+              f"{n_dev} devices")
+        dp = False
     if dp:
         mesh = data_parallel_mesh()
         step_fn = make_dp_train_step(cfg, mesh, loss=loss)

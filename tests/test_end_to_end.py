@@ -1,0 +1,114 @@
+"""End-to-end pipeline tests over stored datasets (SURVEY.md §3 call stacks):
+collector → FrameStore → stream → train step, for every dataset/model family.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keypoints_tpu.configs import get_config
+from keypoints_tpu.data.collect import collect
+from keypoints_tpu.data.records import (FrameStore, image_folder_to_store,
+                                        pair_stream, prefetch, single_stream)
+from keypoints_tpu.training import build_model, init_state, make_train_step
+
+
+def _small(cfg, **over):
+    return cfg.override(**{
+        "model.encoder_filters": (8, 16),
+        "model.encoder_strides": (2, 2),
+        "model.decoder_filters": (16, 8),
+        "model.decoder_upsample": (True, True),
+        "model.groups": 4,
+        "data.image_size": 32,
+        "train.batch_size": 4,
+        "train.compute_dtype": "float32",
+        **over})
+
+
+def test_transporter_on_collected_rollouts(tmp_path):
+    """Atari-style path: scripted collector → temporal pairs → Transporter."""
+    path = collect(str(tmp_path / "pong.npy"), env_name=None, episodes=2,
+                   steps_per_episode=8, size=32, delta=2)
+    store = FrameStore(path)
+    cfg = _small(get_config("transporter_atari"))
+    model = build_model(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg, model))
+    stream = prefetch(pair_stream(store, cfg.train.batch_size, seed=0))
+    for i in range(3):
+        src, tgt = next(stream)
+        state, m = step(state, (src, tgt), jax.random.PRNGKey(1))
+    assert np.isfinite(float(np.asarray(m["loss"])))
+    assert int(np.asarray(state.step)) == 3
+
+
+def test_celeba_style_folder_pipeline(tmp_path):
+    """CelebA-style path: image folder → packed store → warp-mode training."""
+    import cv2
+    folder = tmp_path / "faces"
+    folder.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(6):
+        cv2.imwrite(str(folder / f"{i:03d}.png"),
+                    (rs.rand(40, 40, 3) * 255).astype(np.uint8))
+    path = image_folder_to_store(str(folder), str(tmp_path / "celeba_32.npy"),
+                                 size=32, channels=3)
+    store = FrameStore(path)
+    assert store.frames.shape == (6, 3, 32, 32)
+
+    cfg = _small(get_config("celeba128"))
+    model = build_model(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg, model))
+    stream = prefetch(single_stream(store, cfg.train.batch_size, seed=0))
+    for _ in range(2):
+        imgs = next(stream)
+        state, m = step(state, imgs, jax.random.PRNGKey(1))
+    assert np.isfinite(float(np.asarray(m["loss"])))
+
+
+def test_perceptual_loss_train_step():
+    """pose256-style path (shrunk): perceptual VGG loss inside the train step."""
+    from keypoints_tpu.losses import make_perceptual_loss
+    from keypoints_tpu.models.vgg import make_feature_fn
+
+    cfg = _small(get_config("pose256"), **{
+        "model.num_keypoints": 4,
+        "model.encoder_filters": (8, 16),
+        "model.encoder_strides": (2, 2),
+        "model.decoder_filters": (16, 8),
+        "model.decoder_upsample": (True, True),
+        "model.sigma": 0.3,
+    })
+    feat = make_feature_fn(layers=("relu1_2",))
+    loss = make_perceptual_loss(feat, ("relu1_2",))
+    model = build_model(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg, model, loss=loss))
+    imgs = jnp.asarray(np.random.RandomState(0).rand(4, 3, 32, 32), jnp.float32)
+    state, m = step(state, imgs, jax.random.PRNGKey(1))
+    assert np.isfinite(float(np.asarray(m["loss"])))
+    assert float(np.asarray(m["grad_norm"])) > 0
+
+
+def test_train_cli_resume(tmp_path, monkeypatch, capsys):
+    """CLI path twice: second run resumes from the first's checkpoint."""
+    from keypoints_tpu import train as train_mod
+    monkeypatch.chdir(tmp_path)
+    args = ["--preset", "pong64", "--steps", "4", "--override",
+            "model.encoder_filters=(8,16)", "model.encoder_strides=(2,2)",
+            "model.decoder_filters=(16,8)", "model.decoder_upsample=(True,True)",
+            "model.groups=4", "data.image_size=32", "train.batch_size=4",
+            "train.compute_dtype=float32", "train.log_every=2",
+            "train.eval_every=100", "train.checkpoint_every=2",
+            "data.dataset=synthetic_dots"]
+    train_mod.main(args)
+    out1 = capsys.readouterr().out
+    assert "step      4" in out1
+    train_mod.main(args + ["--steps", "6"])
+    out2 = capsys.readouterr().out
+    assert "resumed from step 4" in out2
+    assert "step      6" in out2

@@ -135,7 +135,28 @@ def test_warp_identity_grid():
 
 
 def test_warp_rejects_wide_images():
-    img = jnp.zeros((1, 1, 8, 256))
+    img = jnp.zeros((1, 1, 8, 640))
     grid = jnp.zeros((1, 8, 8, 2))
-    with pytest.raises(ValueError, match="W,Wo<=128"):
+    with pytest.raises(ValueError, match="W,Wo<=512"):
         warp_bilinear_pallas(img, grid)
+
+
+@pytest.mark.parametrize("win", [16, 32])
+def test_warp_y_window_exact_on_aug_grids(win):
+    """Windowed vertical reduce stays exact for bounded-displacement grids."""
+    from keypoints_tpu.data.augment import WarpConfig, random_warp_grid
+    img = jnp.asarray(np.random.RandomState(3).rand(4, 3, 64, 64), jnp.float32)
+    g = random_warp_grid(jax.random.PRNGKey(3), 4, 64, 64, WarpConfig())
+    got = warp_bilinear_pallas(img, g, "border", True, y_window=win,
+                               interpret=True)
+    want = grid_sample(img, g, "border", True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_warp_y_window_bound_formula():
+    from keypoints_tpu.data.augment import WarpConfig, warp_y_window
+    cfg = WarpConfig()
+    # default config at 128px: bound must cover the spread used in the test
+    # above (which win=16 already covers at 64px) with margin
+    assert warp_y_window(cfg, 64) >= 16
+    assert warp_y_window(cfg, 128) <= 64
