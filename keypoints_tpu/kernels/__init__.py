@@ -59,7 +59,10 @@ def warp_sample(image: jnp.ndarray, grid: jnp.ndarray,
     """
     b, c, h, w = image.shape
     ho, wo = grid.shape[1:3]
-    if (_on_tpu() and w <= 4 * MAX_LANES and wo <= 4 * MAX_LANES
+    # Multi-tile widths (>128) compile but take many minutes through this
+    # environment's remote Mosaic compiler — keep the dispatcher at one lane
+    # tile until that's resolved; wider shapes use the XLA path.
+    if (_on_tpu() and w <= MAX_LANES and wo <= MAX_LANES
             and ho % _ROWS_PER_PROGRAM == 0):
         return warp_bilinear_pallas(image, grid, padding_mode, align_corners,
                                     y_window=y_window)
