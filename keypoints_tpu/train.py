@@ -37,15 +37,19 @@ from keypoints_tpu.viz import Logger, image_grid, overlay_keypoints, side_by_sid
 def make_batch_iterator(cfg: Config) -> Iterator:
     """→ iterator of raw-image batches (warp mode) or (src, tgt) pairs."""
     d, b = cfg.data, cfg.train.batch_size
+    warp_mode = d.pair_mode == "warp"
     if d.dataset == "synthetic_dots":
         def gen():
             key = jax.random.PRNGKey(cfg.train.seed + 1)
+            # warp mode synthesizes its own (src, tgt) pair inside the train
+            # step from a raw batch; temporal mode wants the generated pair.
             mk = jax.jit(lambda k: moving_dots_pair(
                 k, b, d.image_size, num_dots=cfg.model.num_keypoints,
                 channels=d.channels, max_shift=0.8)[:2])
             while True:
                 key, sub = jax.random.split(key)
-                yield mk(sub)
+                pair = mk(sub)
+                yield pair[0] if warp_mode else pair
         return gen()
     if d.dataset == "synthetic_pong":
         def gen():
@@ -53,7 +57,8 @@ def make_batch_iterator(cfg: Config) -> Iterator:
             mk = jax.jit(lambda k: scripted_pong_pair(k, b, d.image_size)[:2])
             while True:
                 key, sub = jax.random.split(key)
-                yield mk(sub)
+                pair = mk(sub)
+                yield pair[0] if warp_mode else pair
         return gen()
     # stored datasets
     store = FrameStore(f"{d.data_dir}/{d.dataset}_{d.image_size}.npy")
