@@ -114,11 +114,18 @@ def _warp_one_row(img_ref, grid_ref, out_ref, r, c, h, w, wo,
     # the image instead of reducing over all H — a ~H/window speedup.
     if y_window is not None and y_window < h:
         win = y_window
+        # Mosaic needs the dynamic sublane offset provably tile-aligned
+        # (16 covers bf16's (16, 128) tile; f32 needs 8). The caller-side
+        # window rounding adds the ≤15-row slack this alignment can cost.
         start = jnp.clip(jnp.min(y0f).astype(jnp.int32), 0, h - win)
+        start = pl.multiple_of((start // 16) * 16, 16)
     else:
         win = h
         start = 0
-    img2 = img_ref[0, :, pl.ds(start, win), :].reshape(c * win, w)
+    # cast to f32 in VMEM: Mosaic's gather wants index/result bitwidths to
+    # match (bf16 data + i32 idx is unimplemented); bf16 stays on the DMA.
+    img2 = (img_ref[0, :, pl.ds(start, win), :]
+            .reshape(c * win, w).astype(jnp.float32))
 
     hx = lane_gather(x0f, wx0) + lane_gather(x0f + 1.0, wx1)
     hx = hx.reshape(c, win, wo)                           # x-interp columns
@@ -168,7 +175,8 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
                          f"{_ROWS_PER_PROGRAM}; got {ho}")
 
     if y_window is not None:
-        y_window = min(h, max(8, -(-int(y_window) // 8) * 8))
+        # +16 slack for the tile-aligned window start, rounded to a tile.
+        y_window = min(h, max(16, -(-(int(y_window) + 16) // 16) * 16))
     kern = functools.partial(_warp_kernel, padding_mode=padding_mode,
                              align_corners=align_corners, y_window=y_window)
     out = pl.pallas_call(

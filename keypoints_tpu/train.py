@@ -85,7 +85,7 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
     dp = t.data_parallel and n_dev > 1
     if dp and t.batch_size % n_dev != 0:
         print(f"data_parallel off: batch {t.batch_size} not divisible by "
-              f"{n_dev} devices")
+              f"{n_dev} devices", flush=True)
         dp = False
     if dp:
         mesh = data_parallel_mesh()
@@ -102,7 +102,7 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
     start, restored = ckpt.restore_latest(mgr, state._asdict())
     if start is not None:
         state = TrainState(**restored)
-        print(f"resumed from step {start}")
+        print(f"resumed from step {start}", flush=True)
 
     log = Logger(logdir)
     rng = jax.random.PRNGKey(t.seed + 2)
@@ -128,7 +128,7 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
                     f"training diverged at step {step}: loss={lv} grad={gn}; "
                     f"restart from the last checkpoint with a lower lr")
             print(f"step {step:6d} loss {lv:.5f} grad {gn:.3f} "
-                  f"frames/s {fps:.0f}")
+                  f"frames/s {fps:.0f}", flush=True)
             log.scalars(step, loss=lv, grad_norm=gn, frames_per_sec=fps)
 
         if step % t.eval_every == 0:
