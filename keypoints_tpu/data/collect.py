@@ -60,26 +60,34 @@ def collect_ale(env_name: str, episodes: int, max_steps: int, size: int,
 
 def collect_scripted_pong(episodes: int, steps_per_episode: int, size: int,
                           seed: int = 0) -> tuple[np.ndarray, list[int]]:
-    """Scripted Pong physics rollouts (no gym needed), u8 frames."""
+    """Scripted Pong physics rollouts (no gym needed), u8 frames.
+
+    Trajectories are simulated on the host (cheap scalar physics) and the
+    whole episode is rendered in ONE jitted device call — per-frame dispatch
+    through a remote device would be thousands of round-trips.
+    """
     import jax
     import jax.numpy as jnp
     from keypoints_tpu.data.synthetic import _render_pong
 
+    render = jax.jit(lambda balls, pads: _render_pong(balls, pads, size))
     rng = np.random.RandomState(seed)
     frames, lengths = [], []
+    dt = 0.08
     for ep in range(episodes):
         ball = rng.uniform(-0.7, 0.7, 2)
         vel = rng.uniform(0.5, 1.5, 2) * np.sign(rng.uniform(-1, 1, 2))
-        dt = 0.08
+        balls = np.empty((steps_per_episode, 2), np.float32)
+        pads = np.empty((steps_per_episode, 2), np.float32)
         for t in range(steps_per_episode):
-            pad = np.clip(ball[1] + 0.1 * rng.randn(2), -0.8, 0.8)
-            f = _render_pong(jnp.asarray(ball[None], jnp.float32),
-                             jnp.asarray(pad[None], jnp.float32), size)
-            frames.append(np.asarray(f[0]))
+            balls[t] = ball
+            pads[t] = np.clip(ball[1] + 0.1 * rng.randn(2), -0.8, 0.8)
             ball = ball + vel * dt
             ball = np.abs(np.mod(ball + 1.0, 4.0) - 2.0) - 1.0
+        ep_frames = np.asarray(render(jnp.asarray(balls), jnp.asarray(pads)))
+        frames.append(ep_frames)
         lengths.append(steps_per_episode)
-    arr = (np.clip(np.stack(frames), 0, 1) * 255).astype(np.uint8)
+    arr = (np.clip(np.concatenate(frames), 0, 1) * 255).astype(np.uint8)
     return arr, lengths
 
 
