@@ -60,8 +60,22 @@ def make_batch_iterator(cfg: Config) -> Iterator:
                 pair = mk(sub)
                 yield pair[0] if warp_mode else pair
         return gen()
-    # stored datasets
+    # stored datasets: device-resident sampling when the store fits in HBM
+    # (zero host work and zero H2D per step), grain streams otherwise.
     store = FrameStore(f"{d.data_dir}/{d.dataset}_{d.image_size}.npy")
+    from keypoints_tpu.data.device import DeviceDataset, fits_in_memory
+    if fits_in_memory(store):
+        ds = DeviceDataset(store)
+        sample = jax.jit(
+            (lambda k: ds.sample_pair(k, b)) if d.pair_mode == "temporal"
+            else (lambda k: ds.sample(k, b)))
+
+        def gen():
+            key = jax.random.PRNGKey(cfg.train.seed + 3)
+            while True:
+                key, sub = jax.random.split(key)
+                yield sample(sub)
+        return gen()
     if d.pair_mode == "temporal":
         return prefetch(pair_stream(store, b, cfg.train.seed))
     return prefetch(single_stream(store, b, cfg.train.seed))

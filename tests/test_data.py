@@ -72,3 +72,40 @@ def test_collector_writes_pong_store(tmp_path):
     assert store.frames.dtype == np.uint8
     assert len(store.pairs) == 8
     assert store.frames.max() > 100   # content present
+
+
+def test_device_dataset_sampling(tmp_path):
+    from keypoints_tpu.data.device import DeviceDataset, fits_in_memory
+    frames = (np.random.RandomState(0).rand(12, 1, 8, 8) * 255).astype(np.uint8)
+    pairs = episode_pairs([12], delta=1)
+    path = str(tmp_path / "d.npy")
+    FrameStore.write(path, frames, pairs)
+    store = FrameStore(path)
+    assert fits_in_memory(store)
+
+    ds = DeviceDataset(store)
+    batch = ds.sample(jax.random.PRNGKey(0), 4)
+    assert batch.shape == (4, 1, 8, 8)
+    assert 0.0 <= float(batch.min()) and float(batch.max()) <= 1.0
+
+    a, b = jax.jit(lambda k: ds.sample_pair(k, 4))(jax.random.PRNGKey(1))
+    assert a.shape == b.shape == (4, 1, 8, 8)
+    # temporal structure: each (a, b) row must be a consecutive-frame pair
+    af = np.asarray(a * 255).astype(np.uint8)
+    bf = np.asarray(b * 255).astype(np.uint8)
+    for i in range(4):
+        ja = int(np.argmin([np.abs(af[i].astype(int) - f.astype(int)).sum()
+                            for f in frames]))
+        jb = int(np.argmin([np.abs(bf[i].astype(int) - f.astype(int)).sum()
+                            for f in frames]))
+        assert jb == ja + 1
+
+
+def test_device_dataset_rejects_oversized(tmp_path):
+    from keypoints_tpu.data.device import DeviceDataset
+    frames = np.zeros((4, 1, 8, 8), np.uint8)
+    path = str(tmp_path / "d2.npy")
+    FrameStore.write(path, frames)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="device budget"):
+        DeviceDataset(FrameStore(path), budget_bytes=10)
