@@ -116,3 +116,44 @@ def assert_tree_shapes_match(converted: dict, reference: dict) -> None:
                  *(f"shape {k}: got {got_flat[k]} want {ref_flat[k]}"
                    for k in bad)]
         raise ValueError("converted params mismatch:\n" + "\n".join(lines))
+
+
+# --- CLI: python -m keypoints_tpu.checkpoint convert <torch.pt> <out_dir> ---
+
+def _cli(argv=None):
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(
+        description="convert a torch checkpoint to an Orbax params checkpoint")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("convert", help="torch state dict -> Orbax params")
+    c.add_argument("torch_path")
+    c.add_argument("out_dir")
+    c.add_argument("--rename", default=None,
+                   help="JSON file mapping torch module prefixes to flax paths")
+    c.add_argument("--preset", default=None,
+                   help="validate converted shapes against this config preset")
+    args = p.parse_args(argv)
+
+    rename = None
+    if args.rename:
+        with open(args.rename) as f:
+            rename = json.load(f)
+    params = load_torch_checkpoint(args.torch_path, rename)
+    if args.preset:
+        import jax
+        from keypoints_tpu.configs import get_config
+        from keypoints_tpu.training import init_state
+        ref = init_state(get_config(args.preset),
+                         jax.random.PRNGKey(0)).params
+        assert_tree_shapes_match(params, ref)
+        print(f"shapes validated against preset {args.preset!r}")
+    mgr = make_manager(args.out_dir, max_to_keep=1)
+    save(mgr, 0, {"params": params})
+    mgr.wait_until_finished()
+    print(f"wrote Orbax checkpoint to {args.out_dir} (step 0)")
+
+
+if __name__ == "__main__":
+    _cli()

@@ -25,16 +25,37 @@ from keypoints_tpu.coords import (DEFAULT_ALIGN_CORNERS, coord_grid,
                                   normalized_to_pixel)
 
 
+def _reflect_coord(x: jnp.ndarray, size: int,
+                   align_corners: bool) -> jnp.ndarray:
+    """Torch 'reflection' padding: fold coordinates into the valid range.
+
+    align_corners=True reflects about pixel centers [0, size-1];
+    align_corners=False about pixel edges [-0.5, size-0.5].
+    """
+    lo, hi = (0.0, size - 1.0) if align_corners else (-0.5, size - 0.5)
+    span = hi - lo
+    if span <= 0:                      # size == 1
+        return jnp.zeros_like(x)
+    x = jnp.mod(x - lo, 2.0 * span)
+    x = jnp.where(x > span, 2.0 * span - x, x) + lo
+    # torch additionally clips to the index range after reflecting
+    return jnp.clip(x, 0.0, size - 1)
+
+
 def grid_sample(image: jnp.ndarray, grid: jnp.ndarray,
                 padding_mode: str = "zeros",
-                align_corners: bool = DEFAULT_ALIGN_CORNERS) -> jnp.ndarray:
-    """Bilinear sample ``image`` (B, C, H, W) at ``grid`` (B, Ho, Wo, 2 as (x,y)).
+                align_corners: bool = DEFAULT_ALIGN_CORNERS,
+                mode: str = "bilinear") -> jnp.ndarray:
+    """Sample ``image`` (B, C, H, W) at ``grid`` (B, Ho, Wo, 2 as (x,y)).
 
-    Returns (B, C, Ho, Wo). Semantics match torch grid_sample exactly (verified
-    against torch CPU in tests/test_warp.py).
+    Returns (B, C, Ho, Wo). Semantics match torch grid_sample exactly —
+    ``mode`` in {bilinear, nearest}, ``padding_mode`` in {zeros, border,
+    reflection} — verified against torch CPU in tests/test_ops_parity.py.
     """
-    if padding_mode not in ("zeros", "border"):
+    if padding_mode not in ("zeros", "border", "reflection"):
         raise ValueError(f"unsupported padding_mode: {padding_mode!r}")
+    if mode not in ("bilinear", "nearest"):
+        raise ValueError(f"unsupported mode: {mode!r}")
     b, c, h, w = image.shape
     ix = normalized_to_pixel(grid[..., 0], w, align_corners)  # (B, Ho, Wo)
     iy = normalized_to_pixel(grid[..., 1], h, align_corners)
@@ -42,6 +63,24 @@ def grid_sample(image: jnp.ndarray, grid: jnp.ndarray,
     if padding_mode == "border":
         ix = jnp.clip(ix, 0.0, w - 1)
         iy = jnp.clip(iy, 0.0, h - 1)
+    elif padding_mode == "reflection":
+        ix = _reflect_coord(ix, w, align_corners)
+        iy = _reflect_coord(iy, h, align_corners)
+
+    if mode == "nearest":
+        xi = jnp.round(ix)
+        yi = jnp.round(iy)
+        if padding_mode == "zeros":
+            valid = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))
+        else:
+            valid = jnp.ones_like(xi, dtype=bool)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        flat = (yc * w + xc).reshape(b, -1)
+        img_flat = image.reshape(b, c, h * w)
+        vals = jnp.take_along_axis(img_flat, flat[:, None, :], axis=2)
+        vals = vals * valid.reshape(b, 1, -1)
+        return vals.reshape(b, c, *grid.shape[1:3])
 
     x0 = jnp.floor(ix)
     y0 = jnp.floor(iy)

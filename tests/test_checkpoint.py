@@ -95,3 +95,26 @@ def test_conversion_shape_mismatch_raises():
     ref = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)))["params"]
     with pytest.raises(ValueError):
         ckpt.assert_tree_shapes_match(params, ref)
+
+
+def test_convert_cli(tmp_path):
+    """torch .pt → Orbax checkpoint via the CLI, restorable afterwards."""
+    import json
+    tnet = _TorchConvNet()
+    pt = tmp_path / "ref.pt"
+    torch.save(tnet.state_dict(), pt)
+    rename = {"conv0": "Conv_0", "gn0": "GroupNorm_0",
+              "conv1": "Conv_1", "gn1": "GroupNorm_1"}
+    rn = tmp_path / "rename.json"
+    rn.write_text(json.dumps(rename))
+    out = tmp_path / "orbax"
+    ckpt._cli(["convert", str(pt), str(out), "--rename", str(rn)])
+    mgr = ckpt.make_manager(str(out))
+    assert mgr.latest_step() == 0
+    params = ckpt.convert_torch_state_dict(tnet.state_dict(), rename)
+    restored = mgr.restore(0, args=__import__("orbax.checkpoint", fromlist=["args"])
+                           .args.StandardRestore({"params": params}))
+    got = jax.tree_util.tree_leaves(restored["params"])
+    want = jax.tree_util.tree_leaves(params)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

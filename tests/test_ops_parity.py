@@ -156,3 +156,33 @@ def test_color_jitter_shapes_and_range():
     # identity settings are a no-op
     same = color_jitter(jax.random.PRNGKey(0), img, 0.0, 0.0, 0.0)
     np.testing.assert_allclose(np.asarray(same), np.asarray(img), atol=1e-7)
+
+
+@pytest.mark.parametrize("align", ALIGN)
+def test_grid_sample_reflection_vs_torch(align):
+    img = rand(2, 3, 17, 23, seed=14)
+    grid = (rand(2, 9, 11, 2, seed=15) * 3.0).astype(np.float32)  # far OOB
+    got = np.asarray(grid_sample(jnp.array(img), jnp.array(grid),
+                                 padding_mode="reflection",
+                                 align_corners=align))
+    want = golden.torch_grid_sample(torch.tensor(img), torch.tensor(grid),
+                                    padding_mode="reflection",
+                                    align_corners=align).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("align", ALIGN)
+@pytest.mark.parametrize("padding", ["zeros", "border", "reflection"])
+def test_grid_sample_nearest_vs_torch(align, padding):
+    import torch.nn.functional as F
+    img = rand(2, 2, 13, 19, seed=16)
+    # keep points off exact .5 rounding boundaries: rounding-mode edge cases
+    # (torch nearbyint vs jnp round) only differ exactly at ties
+    grid = (rand(2, 7, 9, 2, seed=17) * 1.7).astype(np.float32)
+    got = np.asarray(grid_sample(jnp.array(img), jnp.array(grid),
+                                 padding_mode=padding, align_corners=align,
+                                 mode="nearest"))
+    want = F.grid_sample(torch.tensor(img), torch.tensor(grid),
+                         mode="nearest", padding_mode=padding,
+                         align_corners=align).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
