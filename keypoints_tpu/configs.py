@@ -8,7 +8,6 @@ BASELINE configs [B:6–12]; CLI overrides are handled in ``train.py`` via
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field, replace
 from typing import Tuple
 

@@ -27,12 +27,15 @@ from keypoints_tpu.coords import DEFAULT_ALIGN_CORNERS, axis_coords
 # kernel is safe here.
 from keypoints_tpu.kernels import warp_sample
 from keypoints_tpu.ops.color import color_jitter
-from keypoints_tpu.ops.warp import tps_grid
+from keypoints_tpu.ops.warp import tps_grid, upsample_field_aligned
 
 
 class WarpConfig(NamedTuple):
     grid_size: int = 5          # TPS control grid is grid_size^2 points
     tps_scale: float = 0.05     # std of control-point perturbation
+    field_res: int = 33         # TPS field eval resolution (upsampled to the
+                                # image; 0 = exact dense eval). 33² → ≤0.2 px
+                                # error at 128², ~15× less field-eval work.
     rotate: float = 0.1         # max |rotation| in radians
     scale: float = 0.1          # max |log-ish scale delta|
     translate: float = 0.1      # max |translation| in normalized units
@@ -71,6 +74,10 @@ def random_warp_grid(key: jax.Array, batch: int, height: int, width: int,
                      jnp.stack([sin, cos], -1)], -2)          # (B, 2, 2)
     targets = jnp.einsum("bij,bnj->bni", rot, targets) * scale + trans
 
+    if cfg.field_res and cfg.field_res < min(height, width):
+        coarse = tps_grid(sites, targets, cfg.field_res, cfg.field_res,
+                          align_corners=align_corners)
+        return upsample_field_aligned(coarse, height, width)
     return tps_grid(sites, targets, height, width,
                     align_corners=align_corners)
 

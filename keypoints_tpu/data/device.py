@@ -18,8 +18,6 @@ multi-host sharding.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -52,98 +52,87 @@ def _warp_kernel(img_ref, grid_ref, out_ref, *, padding_mode, align_corners,
                  y_window):
     """One program per (batch, 8-output-row block): the image block's
     index_map is constant across the row dimension, so Mosaic keeps it
-    resident in VMEM while only the small grid/out row blocks stream."""
+    resident in VMEM while only the small grid/out row blocks stream.
+
+    All index math is vectorized over the whole (rows, Wo) block up front —
+    per-row work is only the gather + windowed mask-reduce."""
     _, c, h, w = img_ref.shape
     _, rows, wo, _ = grid_ref.shape
-    for r in range(rows):
-        _warp_one_row(img_ref, grid_ref, out_ref, r, c, h, w, wo,
-                      padding_mode, align_corners, y_window)
 
-
-def _warp_one_row(img_ref, grid_ref, out_ref, r, c, h, w, wo,
-                  padding_mode, align_corners, y_window):
-    g = grid_ref[0, r]                                    # (Wo, 2)
-    ix = _unnormalize(g[:, 0:1].reshape(1, wo), w, align_corners)  # (1, Wo)
-    iy = _unnormalize(g[:, 1:2].reshape(1, wo), h, align_corners)
+    g = grid_ref[0]                                       # (rows, Wo, 2)
+    ix = _unnormalize(g[..., 0], w, align_corners)        # (rows, Wo)
+    iy = _unnormalize(g[..., 1], h, align_corners)
     if padding_mode == "border":
         ix = jnp.clip(ix, 0.0, w - 1)
         iy = jnp.clip(iy, 0.0, h - 1)
     x0f = jnp.floor(ix)
     y0f = jnp.floor(iy)
-    fx = ix - x0f                                         # (1, Wo)
+    fx = ix - x0f
     fy = iy - y0f
-
-    def lane_gather(xc, wgt):
-        """x-corner contribution: (C·win, Wo) gathered at column xc.
-
-        Mosaic's dynamic lane shuffle is within one 128-lane tile, so wider
-        images gather per (input-tile × output-chunk) pair with a select —
-        cost scales with ceil(W/128) (2× at 256², the widest config)."""
-        xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
-        idx = jnp.broadcast_to(xi, (c * win, wo))
-        wgt = jnp.broadcast_to(wgt.astype(jnp.float32), (c * win, wo))
-        out_chunks = []
-        for jo in range(0, wo, MAX_LANES):
-            jo_end = min(jo + MAX_LANES, wo)
-            idx_t = idx[:, jo:jo_end]
-            acc = None
-            for ji in range(0, w, MAX_LANES):
-                ji_end = min(ji + MAX_LANES, w)
-                local = jnp.clip(idx_t - ji, 0, ji_end - ji - 1)
-                part = jnp.take_along_axis(img2[:, ji:ji_end], local, axis=1)
-                if acc is None:
-                    acc = part          # single-tile: select is a no-op
-                    if w > MAX_LANES:
-                        acc = jnp.where(idx_t < ji_end, part, 0.0)
-                else:
-                    acc = jnp.where((idx_t >= ji) & (idx_t < ji_end),
-                                    part, acc)
-            out_chunks.append(acc * wgt[:, jo:jo_end])
-        return (out_chunks[0] if len(out_chunks) == 1
-                else jnp.concatenate(out_chunks, axis=1))
+    x0 = jnp.clip(x0f, 0, w - 1).astype(jnp.int32)
+    x1 = jnp.clip(x0f + 1.0, 0, w - 1).astype(jnp.int32)
+    y0 = jnp.clip(y0f, 0.0, h - 1).astype(jnp.int32)
+    y1 = jnp.clip(y0f + 1.0, 0.0, h - 1).astype(jnp.int32)
 
     if padding_mode == "zeros":
         wx0 = jnp.where((x0f >= 0) & (x0f <= w - 1), 1.0 - fx, 0.0)
         wx1 = jnp.where((x0f + 1 >= 0) & (x0f + 1 <= w - 1), fx, 0.0)
+        wy0 = jnp.where((y0f >= 0) & (y0f <= h - 1), 1.0 - fy, 0.0)
+        wy1 = jnp.where((y0f + 1 >= 0) & (y0f + 1 <= h - 1), fy, 0.0)
     else:
-        wx0, wx1 = 1.0 - fx, fx
+        wx0, wx1, wy0, wy1 = 1.0 - fx, fx, 1.0 - fy, fy
 
-    # Vertical window: the y-mask-reduce only needs rows touched by this
-    # output row. With a caller-guaranteed displacement bound (augment.py
-    # computes one from its WarpConfig) we slice a y_window-row band out of
-    # the image instead of reducing over all H — a ~H/window speedup.
+    # vertical window shared by the whole 8-row block
     if y_window is not None and y_window < h:
         win = y_window
-        # Mosaic needs the dynamic sublane offset provably tile-aligned
-        # (16 covers bf16's (16, 128) tile; f32 needs 8). The caller-side
-        # window rounding adds the ≤15-row slack this alignment can cost.
+        align = 16 if img_ref.dtype == jnp.bfloat16 else 8
         start = jnp.clip(jnp.min(y0f).astype(jnp.int32), 0, h - win)
-        start = pl.multiple_of((start // 16) * 16, 16)
+        start = pl.multiple_of((start // align) * align, align)
     else:
         win = h
         start = 0
-    # cast to f32 in VMEM: Mosaic's gather wants index/result bitwidths to
-    # match (bf16 data + i32 idx is unimplemented); bf16 stays on the DMA.
     img2 = (img_ref[0, :, pl.ds(start, win), :]
             .reshape(c * win, w).astype(jnp.float32))
 
-    hx = lane_gather(x0f, wx0) + lane_gather(x0f + 1.0, wx1)
-    hx = hx.reshape(c, win, wo)                           # x-interp columns
-
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) + start
-    y0 = jnp.clip(y0f, 0.0, h - 1).astype(jnp.int32)[:, None, :]   # (1,1,Wo)
-    y1 = jnp.clip(y0f + 1.0, 0.0, h - 1).astype(jnp.int32)[:, None, :]
-    if padding_mode == "zeros":
-        vy0 = ((y0f >= 0) & (y0f <= h - 1)).astype(jnp.float32)
-        vy1 = ((y0f + 1 >= 0) & (y0f + 1 <= h - 1)).astype(jnp.float32)
-        wy0 = ((1.0 - fy) * vy0)[:, None, :]
-        wy1 = (fy * vy1)[:, None, :]
-    else:
-        wy0 = (1.0 - fy)[:, None, :]
-        wy1 = fy[:, None, :]
-    wv = ((iota_h == y0).astype(jnp.float32) * wy0
-          + (iota_h == y1).astype(jnp.float32) * wy1)     # (1, H, Wo)
-    out_ref[0, :, r, :] = jnp.sum(hx * wv, axis=1).astype(out_ref.dtype)
+    # (rows, 1, Wo) expansions done once: the per-row slice below must be a
+    # plain lax.slice (mixed None/slice getitem lowers to a gather Mosaic
+    # rejects).
+    y0e = y0[:, None, :]
+    y1e = y1[:, None, :]
+    wy0e = wy0[:, None, :]
+    wy1e = wy1[:, None, :]
+
+    def gather_tiled(idx_t):
+        """(C·win, chunk) gather honoring the one-lane-tile source limit."""
+        acc = None
+        for ji in range(0, w, MAX_LANES):
+            ji_end = min(ji + MAX_LANES, w)
+            local = jnp.clip(idx_t - ji, 0, ji_end - ji - 1)
+            part = jnp.take_along_axis(img2[:, ji:ji_end], local, axis=1)
+            if acc is None:
+                acc = part
+                if w > MAX_LANES:
+                    acc = jnp.where(idx_t < ji_end, part, 0.0)
+            else:
+                acc = jnp.where((idx_t >= ji) & (idx_t < ji_end), part, acc)
+        return acc
+
+    for r in range(rows):
+        hx = None
+        for jo in range(0, wo, MAX_LANES):
+            jo_end = min(jo + MAX_LANES, wo)
+            span = jo_end - jo
+            i0 = jnp.broadcast_to(x0[r:r + 1, jo:jo_end], (c * win, span))
+            i1 = jnp.broadcast_to(x1[r:r + 1, jo:jo_end], (c * win, span))
+            chunk = (gather_tiled(i0) * wx0[r:r + 1, jo:jo_end]
+                     + gather_tiled(i1) * wx1[r:r + 1, jo:jo_end])
+            hx = chunk if hx is None else jnp.concatenate([hx, chunk], axis=1)
+        hx = hx.reshape(c, win, wo)
+        sl = lambda a: jax.lax.slice_in_dim(a, r, r + 1, axis=0)
+        wv = ((iota_h == sl(y0e)).astype(jnp.float32) * sl(wy0e)
+              + (iota_h == sl(y1e)).astype(jnp.float32) * sl(wy1e))
+        out_ref[0, :, r, :] = jnp.sum(hx * wv, axis=1).astype(out_ref.dtype)
 
 
 def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
@@ -175,8 +164,12 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
                          f"{_ROWS_PER_PROGRAM}; got {ho}")
 
     if y_window is not None:
-        # +16 slack for the tile-aligned window start, rounded to a tile.
-        y_window = min(h, max(16, -(-(int(y_window) + 16) // 16) * 16))
+        # The window is shared by an 8-output-row block, so add the block's
+        # own vertical span (rows map to ≈(1+scale) source rows each; 2x
+        # margin) plus the tile-alignment slack, then round up.
+        a = 16 if image.dtype == jnp.bfloat16 else 8
+        pad = 2 * _ROWS_PER_PROGRAM + a
+        y_window = min(h, max(a, -(-(int(y_window) + pad) // a) * a))
     kern = functools.partial(_warp_kernel, padding_mode=padding_mode,
                              align_corners=align_corners, y_window=y_window)
     out = pl.pallas_call(

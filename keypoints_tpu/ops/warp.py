@@ -186,3 +186,29 @@ def tps_grid(control_points: jnp.ndarray, control_targets: jnp.ndarray,
                            (b, height * width, 2))
     vals = tps_evaluate(pts, control_points, w_, a_)
     return vals.reshape(b, height, width, 2)
+
+
+def upsample_field_aligned(field: jnp.ndarray, height: int,
+                           width: int) -> jnp.ndarray:
+    """Bilinear upsample of a smooth field (B, hc, wc, C) → (B, H, W, C).
+
+    align_corners=True semantics on both ends, so a field sampled on
+    ``coord_grid(hc, wc)`` lands exactly on ``coord_grid(H, W)`` positions.
+    Used to evaluate smooth warp fields (TPS) on a coarse grid and blow them
+    up cheaply — at 33²→128² the max error vs dense evaluation is ~0.2 px
+    (tested), while skipping a (B, H·W, N) radial-basis intermediate.
+    """
+    def axis_lerp(x, n_out, axis):
+        n_in = x.shape[axis]
+        if n_in == n_out:
+            return x
+        pos = jnp.arange(n_out) * ((n_in - 1) / (n_out - 1))
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+        f = pos - i0
+        a = jnp.take(x, i0, axis=axis)
+        b = jnp.take(x, i0 + 1, axis=axis)
+        shape = [1] * x.ndim
+        shape[axis] = n_out
+        return a * (1.0 - f.reshape(shape)) + b * f.reshape(shape)
+
+    return axis_lerp(axis_lerp(field, height, 1), width, 2)

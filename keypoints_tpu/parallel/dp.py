@@ -10,7 +10,6 @@ in tests [§4.4] and on a real slice unmodified.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -19,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from keypoints_tpu.configs import Config
-from keypoints_tpu.training import TrainState, build_model, make_train_step
+from keypoints_tpu.training import build_model, make_train_step
 
 DATA_AXIS = "data"
 

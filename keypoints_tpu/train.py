@@ -19,7 +19,6 @@ import time
 from typing import Iterator
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from keypoints_tpu import checkpoint as ckpt
@@ -31,7 +30,7 @@ from keypoints_tpu.parallel import (data_parallel_mesh, make_dp_train_step,
                                     replicate, shard_batch)
 from keypoints_tpu.training import (TrainState, build_model, init_state,
                                     make_extract_fn, make_train_step)
-from keypoints_tpu.viz import Logger, image_grid, overlay_keypoints, side_by_side, to_hwc
+from keypoints_tpu.viz import Logger, image_grid, overlay_keypoints
 
 
 def make_batch_iterator(cfg: Config) -> Iterator:

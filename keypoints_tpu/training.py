@@ -12,7 +12,6 @@ Data parallelism lives in ``parallel/dp.py`` and wraps the same step with
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
