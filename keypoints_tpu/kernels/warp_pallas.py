@@ -48,8 +48,8 @@ def _unnormalize(coord, size, align_corners):
 _ROWS_PER_PROGRAM = 8  # out-block second-to-last dim must be divisible by 8
 
 
-def _warp_kernel(img_ref, grid_ref, out_ref, *, padding_mode, align_corners,
-                 y_window):
+def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
+                 align_corners, y_window):
     """One program per (batch, 8-output-row block): the image block's
     index_map is constant across the row dimension, so Mosaic keeps it
     resident in VMEM while only the small grid/out row blocks stream.
@@ -57,11 +57,10 @@ def _warp_kernel(img_ref, grid_ref, out_ref, *, padding_mode, align_corners,
     All index math is vectorized over the whole (rows, Wo) block up front —
     per-row work is only the gather + windowed mask-reduce."""
     _, c, h, w = img_ref.shape
-    _, rows, wo, _ = grid_ref.shape
+    _, rows, wo = gx_ref.shape
 
-    g = grid_ref[0]                                       # (rows, Wo, 2)
-    ix = _unnormalize(g[..., 0], w, align_corners)        # (rows, Wo)
-    iy = _unnormalize(g[..., 1], h, align_corners)
+    ix = _unnormalize(gx_ref[0], w, align_corners)        # (rows, Wo)
+    iy = _unnormalize(gy_ref[0], h, align_corners)
     if padding_mode == "border":
         ix = jnp.clip(ix, 0.0, w - 1)
         iy = jnp.clip(iy, 0.0, h - 1)
@@ -172,6 +171,13 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
         y_window = min(h, max(a, -(-(int(y_window) + pad) // a) * a))
     kern = functools.partial(_warp_kernel, padding_mode=padding_mode,
                              align_corners=align_corners, y_window=y_window)
+    # The grid is passed as separate x / y planes: a trailing dim of 2 gets a
+    # T(2,128) tiled layout that forces a 2x full-grid relayout copy in front
+    # of the custom call (measured 1.7 ms each at 128²/b128).
+    grid = jax.lax.stop_gradient(grid)
+    row_spec = pl.BlockSpec((1, _ROWS_PER_PROGRAM, wo),
+                            lambda bi, i: (bi, i, 0),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, c, ho, wo), image.dtype),
@@ -179,13 +185,11 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, c, h, w), lambda bi, i: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _ROWS_PER_PROGRAM, wo, 2),
-                         lambda bi, i: (bi, i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            row_spec, row_spec,
         ],
         out_specs=pl.BlockSpec((1, c, _ROWS_PER_PROGRAM, wo),
                                lambda bi, i: (bi, 0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(image, jax.lax.stop_gradient(grid))
+    )(image, grid[..., 0], grid[..., 1])
     return jax.lax.stop_gradient(out)
