@@ -52,8 +52,9 @@ def warp_sample(image: jnp.ndarray, grid: jnp.ndarray,
                 y_window: int | None = None) -> jnp.ndarray:
     """Bilinear warp for the *data path* (augmentation — no gradient).
 
-    Dispatches to the fused Pallas warp on TPU (measured 5x faster than XLA's
-    element gather at 128²; see kernels/warp_pallas.py) when the shape fits
+    Dispatches to the fused Pallas warp on TPU (with natural operand layouts
+    the full aug pipeline runs ~20x faster than via XLA's element gather at
+    128²; see kernels/warp_pallas.py and docs/DESIGN.md) when the shape fits
     its one-lane-tile constraint; everywhere else — CPU, >128-wide images,
     or paths needing gradients — use :func:`keypoints_tpu.ops.warp.grid_sample`.
     """
