@@ -57,3 +57,68 @@ def coordinate_parity(cfg: Config, params, golden_fn: Callable,
         got = np.asarray(extract(params, jnp.asarray(images)))
     want = np.asarray(golden_fn(images))
     return float(np.linalg.norm(got - want, axis=-1).max())
+
+
+# --- CLI: python -m keypoints_tpu.eval --preset pong64 --checkpoint dir -----
+
+def _cli(argv=None):
+    import argparse
+
+    import numpy as np
+
+    from keypoints_tpu import checkpoint as ckpt
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.training import TrainState, init_state
+
+    p = argparse.ArgumentParser(description="evaluate a trained checkpoint")
+    p.add_argument("--preset", required=True)
+    p.add_argument("--checkpoint", required=True,
+                   help="Orbax checkpoint directory (trainer layout)")
+    p.add_argument("--override", nargs="*", default=[])
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--overlay", default=None,
+                   help="write a keypoint-overlay PNG here")
+    args = p.parse_args(argv)
+
+    cfg = get_config(args.preset)
+    for item in args.override:
+        k, v = item.split("=", 1)
+        try:
+            v = eval(v, {}, {})
+        except Exception:
+            pass
+        cfg = cfg.override(**{k: v})
+
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    mgr = ckpt.make_manager(args.checkpoint)
+    step, restored = ckpt.restore_latest(mgr, state._asdict())
+    if step is None:
+        raise SystemExit(f"no checkpoint found in {args.checkpoint}")
+    state = TrainState(**restored)
+    print(f"restored step {step}")
+
+    # evaluate on the preset's synthetic stand-in (ground truth available)
+    from keypoints_tpu.data.synthetic import moving_dots_pair
+    src, tgt, pos = moving_dots_pair(jax.random.PRNGKey(7), args.batch,
+                                     cfg.data.image_size,
+                                     num_dots=cfg.model.num_keypoints,
+                                     channels=cfg.data.channels,
+                                     max_shift=0.8)
+    metrics = evaluate(cfg, state.params, src, tgt,
+                       true_positions=np.asarray(pos))
+    for k, v in metrics.items():
+        print(f"{k}: {v:.5f}")
+
+    if args.overlay:
+        import cv2
+
+        from keypoints_tpu.viz import image_grid, overlay_keypoints
+        extract = jax.jit(make_extract_fn(cfg, build_model(cfg)))
+        kp = np.asarray(extract(state.params, tgt[:8]))
+        grid = image_grid(overlay_keypoints(np.asarray(tgt[:8]), kp), cols=4)
+        cv2.imwrite(args.overlay, (grid[..., ::-1] * 255).astype(np.uint8))
+        print(f"overlay written to {args.overlay}")
+
+
+if __name__ == "__main__":
+    _cli()

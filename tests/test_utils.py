@@ -78,3 +78,31 @@ def test_evaluate_metrics():
     golden = lambda imgs: np.asarray(extract(state.params, jnp.asarray(imgs)))
     assert coordinate_parity(cfg, state.params, golden,
                              np.asarray(src)) < 1e-6
+
+
+def test_eval_cli(tmp_path, capsys):
+    """Train 2 steps via CLI, then evaluate the checkpoint via the eval CLI."""
+    import os
+    from keypoints_tpu import train as train_mod
+    from keypoints_tpu import eval as eval_mod
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        over = ["model.encoder_filters=(8,16)", "model.encoder_strides=(2,2)",
+                "model.decoder_filters=(16,8)", "model.decoder_upsample=(True,True)",
+                "model.groups=4", "data.image_size=32", "train.batch_size=4",
+                "train.compute_dtype=float32", "train.log_every=2",
+                "train.eval_every=100", "train.checkpoint_every=2",
+                "data.dataset=synthetic_dots"]
+        train_mod.main(["--preset", "pong64", "--steps", "2",
+                        "--override", *over])
+        eval_mod._cli(["--preset", "pong64", "--checkpoint",
+                       "checkpoints/pong64", "--batch", "4",
+                       "--override", *over,
+                       "--overlay", str(tmp_path / "ov.png")])
+        out = capsys.readouterr().out
+        assert "restored step 2" in out
+        assert "locking_median" in out
+        assert (tmp_path / "ov.png").exists()
+    finally:
+        os.chdir(cwd)
