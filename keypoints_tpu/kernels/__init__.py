@@ -73,3 +73,23 @@ def warp_sample(image: jnp.ndarray, grid: jnp.ndarray,
 __all__ = ["spatial_softmax", "gaussian_maps", "warp_sample",
            "spatial_softmax_pallas", "gaussian_maps_pallas",
            "warp_bilinear_pallas"]
+
+
+def extract_and_render(heatmaps: jnp.ndarray, out_height: int, out_width: int,
+                       temperature: float = 1.0, sigma: float = 0.1,
+                       variant: str = "marginal",
+                       align_corners: bool = DEFAULT_ALIGN_CORNERS
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The keypoint bottleneck in one shot: heatmaps → (coords, Gaussian maps).
+
+    On TPU with the joint variant this is the fully fused Pallas kernel
+    (extract → re-render without leaving VMEM, SURVEY §2.2); otherwise the
+    soft-argmax and raster dispatch separately.
+    """
+    if _on_tpu() and variant == "joint":
+        from keypoints_tpu.kernels.fused_bottleneck import \
+            softargmax_raster_fused
+        return softargmax_raster_fused(heatmaps, out_height, out_width,
+                                       temperature, sigma, align_corners)
+    kp = spatial_softmax(heatmaps, temperature, variant, align_corners)
+    return kp, gaussian_maps(kp, out_height, out_width, sigma, align_corners)

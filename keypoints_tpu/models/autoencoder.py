@@ -25,7 +25,8 @@ from keypoints_tpu.coords import DEFAULT_ALIGN_CORNERS
 from keypoints_tpu.models.nets import Decoder, Encoder, KeyNet
 # kernels.* dispatch to the fused Pallas kernels on TPU (joint softmax,
 # Gaussian raster) and to the pure-jnp oracles elsewhere.
-from keypoints_tpu.kernels import gaussian_maps, spatial_softmax
+from keypoints_tpu.kernels import (extract_and_render,
+                                   spatial_softmax)
 
 
 class KeypointAutoencoder(nn.Module):
@@ -63,9 +64,13 @@ class KeypointAutoencoder(nn.Module):
     def __call__(self, x_source: jnp.ndarray, x_target: jnp.ndarray):
         """(NCHW src, NCHW tgt) → (reconstruction NCHW, keypoints (B, K, 2))."""
         fmap = self.encoder(x_source.transpose(0, 2, 3, 1))  # (B, h, w, F)
-        kp = self.extract_keypoints(x_target)
+        hm = self.keynet(x_target.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
         h, w = fmap.shape[1:3]
-        gmaps = gaussian_maps(kp, h, w, self.sigma, self.align_corners)
+        # extract → re-render in one fused kernel on TPU (joint variant)
+        kp, gmaps = extract_and_render(hm.astype(jnp.float32), h, w,
+                                       self.temperature, self.sigma,
+                                       self.softmax_variant,
+                                       self.align_corners)
         gmaps = gmaps.transpose(0, 2, 3, 1).astype(fmap.dtype)  # (B, h, w, K)
         recon = self.decoder(jnp.concatenate([fmap, gmaps], axis=-1))
         return recon.transpose(0, 3, 1, 2).astype(jnp.float32), kp

@@ -27,7 +27,8 @@ from keypoints_tpu.coords import DEFAULT_ALIGN_CORNERS
 from keypoints_tpu.models.nets import Decoder, Encoder, KeyNet
 # kernels.* dispatch to the fused Pallas kernels on TPU (joint softmax,
 # Gaussian raster) and to the pure-jnp oracles elsewhere.
-from keypoints_tpu.kernels import gaussian_maps, spatial_softmax
+from keypoints_tpu.kernels import (extract_and_render,
+                                   spatial_softmax)
 
 
 class Transporter(nn.Module):
@@ -57,10 +58,11 @@ class Transporter(nn.Module):
     def _heat(self, x_nhwc: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """NHWC image → (keypoints (B,K,2), attention map (B,h,w,1) in [0,1])."""
         hm = self.keynet(x_nhwc).transpose(0, 3, 1, 2)     # (B, K, h, w)
-        kp = spatial_softmax(hm.astype(jnp.float32), self.temperature,
-                             self.softmax_variant, self.align_corners)
         h, w = hm.shape[2:]
-        g = gaussian_maps(kp, h, w, self.sigma, self.align_corners)
+        # extract → re-render in one fused kernel on TPU (joint variant)
+        kp, g = extract_and_render(hm.astype(jnp.float32), h, w,
+                                   self.temperature, self.sigma,
+                                   self.softmax_variant, self.align_corners)
         g = g.max(axis=1)[..., None]                       # (B, h, w, 1)
         return kp, g
 

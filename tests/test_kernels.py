@@ -160,3 +160,40 @@ def test_warp_y_window_bound_formula():
     # above (which win=16 already covers at 64px) with margin
     assert warp_y_window(cfg, 64) >= 16
     assert warp_y_window(cfg, 128) <= 64
+
+
+# --- fused bottleneck ---------------------------------------------------------
+
+from keypoints_tpu.kernels.fused_bottleneck import softargmax_raster_fused  # noqa: E402
+from keypoints_tpu.ops.spatial_softmax import spatial_softmax2d  # noqa: E402
+
+
+@pytest.mark.parametrize("align", [True, False])
+def test_fused_bottleneck_forward(align):
+    hm = jnp.asarray(rand(2, 3, 16, 16, seed=21, scale=4))
+    kp, maps = softargmax_raster_fused(hm, 12, 16, 0.7, 0.15, align,
+                                       interpret=True)
+    kp_o = spatial_softmax2d(hm, 0.7, align)
+    maps_o = gaussian_maps(kp_o, 12, 16, 0.15, align)
+    np.testing.assert_allclose(np.asarray(kp), np.asarray(kp_o), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(maps), np.asarray(maps_o), atol=1e-5)
+
+
+def test_fused_bottleneck_grad():
+    hm = jnp.asarray(rand(1, 2, 12, 16, seed=22, scale=3))
+    tgt_maps = jnp.asarray(rand(1, 2, 12, 16, seed=23))
+    tgt_kp = jnp.asarray(rand(1, 2, 2, seed=24))
+
+    def f_fused(x):
+        kp, maps = softargmax_raster_fused(x, 12, 16, 1.1, 0.2,
+                                           interpret=True)
+        return jnp.sum((maps - tgt_maps) ** 2) + jnp.sum((kp - tgt_kp) ** 2)
+
+    def f_oracle(x):
+        kp = spatial_softmax2d(x, 1.1)
+        maps = gaussian_maps(kp, 12, 16, 0.2)
+        return jnp.sum((maps - tgt_maps) ** 2) + jnp.sum((kp - tgt_kp) ** 2)
+
+    g1 = jax.grad(f_fused)(hm)
+    g2 = jax.grad(f_oracle)(hm)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
