@@ -106,3 +106,15 @@ def test_eval_cli(tmp_path, capsys):
         assert (tmp_path / "ov.png").exists()
     finally:
         os.chdir(cwd)
+
+
+def test_logger_writes_tensorboard_events(tmp_path):
+    from keypoints_tpu.viz import Logger
+    log = Logger(str(tmp_path / "tb"))
+    log.scalars(1, loss=0.5, fps=100.0)
+    log.images(1, "grid", np.zeros((8, 8, 3), np.float32))
+    log.close()
+    files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert files and files[0].stat().st_size > 0
+    # no-op logger never writes
+    Logger(None).scalars(1, loss=1.0)
