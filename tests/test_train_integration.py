@@ -76,3 +76,21 @@ def test_transporter_loss_decreases_on_pong():
     state, losses = _run(
         cfg, lambda k: scripted_pong_pair(k, 16, 32), steps=60)
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.7
+
+
+def test_training_is_deterministic():
+    """Same seed → bit-identical loss trajectory (pure functional stack)."""
+    cfg = _cfg("autoencoder", keypoints=1)
+
+    def run():
+        model = build_model(cfg)
+        state = init_state(cfg, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(cfg, model))
+        losses = []
+        for i in range(5):
+            src, tgt, _ = _one_dot(jax.random.PRNGKey(100 + i))
+            state, m = step(state, (src, tgt), jax.random.PRNGKey(2))
+            losses.append(float(m["loss"]))
+        return losses
+
+    assert run() == run()
