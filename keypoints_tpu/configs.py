@@ -63,6 +63,33 @@ class TrainConfig:
     data_parallel: bool = True        # shard batch over all visible devices
 
 
+def _coerce(val, current):
+    """Cast an override value to the field's current type, safely.
+
+    Strings targeting tuple fields go through ``ast.literal_eval`` — a bare
+    ``tuple("(1,2)")`` would silently yield a tuple of characters.
+    """
+    cur_t = type(current)
+    if current is None or isinstance(val, cur_t):
+        return val
+    if cur_t is tuple:
+        if isinstance(val, str):
+            import ast
+            val = ast.literal_eval(val)
+        if not isinstance(val, (tuple, list)):
+            raise TypeError(
+                f"cannot coerce {val!r} to tuple for config override")
+        return tuple(val)
+    if cur_t is bool and isinstance(val, str):
+        low = val.lower()
+        if low in ("true", "1"):
+            return True
+        if low in ("false", "0"):
+            return False
+        raise TypeError(f"cannot coerce {val!r} to bool")
+    return cur_t(val)
+
+
 @dataclass(frozen=True)
 class Config:
     name: str = "default"
@@ -79,10 +106,8 @@ class Config:
                 out = replace(out, **{key: val})
                 continue
             section = getattr(out, parts[0])
-            cur_t = type(getattr(section, parts[1]))
-            cast = cur_t if cur_t is not type(None) else (lambda v: v)
-            section = replace(section, **{parts[1]: cast(val)
-                                          if not isinstance(val, cur_t) else val})
+            section = replace(section, **{
+                parts[1]: _coerce(val, getattr(section, parts[1]))})
             out = replace(out, **{parts[0]: section})
         return out
 

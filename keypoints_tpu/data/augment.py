@@ -61,7 +61,11 @@ def random_warp_grid(key: jax.Array, batch: int, height: int, width: int,
 
     # Where each output control site samples from in the source image:
     # identity + noise, then pushed through a random affine.
-    targets = sites + cfg.tps_scale * jax.random.normal(k_tps, (batch, n, 2))
+    # Noise clipped to ±3σ so warp_y_window's 6·tps_scale peak-to-peak term
+    # is a hard bound, not a 99.7% one (the Pallas warp kernel silently
+    # zero-fills source rows outside its window — no signal on overflow).
+    noise = jnp.clip(jax.random.normal(k_tps, (batch, n, 2)), -3.0, 3.0)
+    targets = sites + cfg.tps_scale * noise
 
     theta = jax.random.uniform(k_rot, (batch,), minval=-cfg.rotate,
                                maxval=cfg.rotate)
@@ -85,13 +89,17 @@ def random_warp_grid(key: jax.Array, batch: int, height: int, width: int,
 def warp_y_window(cfg: WarpConfig, height: int) -> int:
     """Proven per-output-row vertical source spread in pixels.
 
-    Over one output row, y' = sin(θ)·x + cos(θ)·s·y + t_y + tps(x, y): the
-    only x-dependent terms are sin(θ)·x (spread 2·sin rotate over x∈[-1,1])
-    and the TPS perturbation (≤ ~6·tps_scale peak-to-peak at 3σ); scale and
-    translation are constant along the row. +4 rows bilinear/rounding margin.
+    Over one output row, y' = s·(sin(θ)·x + cos(θ)·y + tps_y(x, y)) + t_y:
+    the x-dependent terms are sin(θ)·x (spread 2·sin rotate over x∈[-1,1])
+    and the TPS perturbation (≤ 6·tps_scale peak-to-peak — noise is clipped
+    to ±3σ in ``random_warp_grid``, so this is a hard bound at the control
+    points); both are multiplied by the affine scale, ≤ (1+cfg.scale). Scale
+    and translation are otherwise constant along the row. +4 rows covers
+    bilinear/rounding margin and mild between-control-point TPS overshoot.
     """
     import math
-    spread = (2.0 * math.sin(cfg.rotate) + 6.0 * cfg.tps_scale) * height / 2.0
+    spread = ((2.0 * math.sin(cfg.rotate) + 6.0 * cfg.tps_scale)
+              * (1.0 + cfg.scale) * height / 2.0)
     return int(math.ceil(spread)) + 4
 
 

@@ -18,15 +18,24 @@ from keypoints_tpu.data.records import FrameStore, episode_pairs
 
 
 def _ale_available(env_name: str) -> bool:
+    """True only if ``gym.make(env_name)`` actually succeeds.
+
+    A bare import check is not enough: gym can be installed without ale-py
+    or the Atari ROMs, in which case ``make`` raises at collection time.
+    """
     try:
-        import gymnasium  # noqa: F401
-        return True
+        import gymnasium as gym
     except ImportError:
         try:
-            import gym  # noqa: F401
-            return True
+            import gym
         except ImportError:
             return False
+    try:
+        env = gym.make(env_name, render_mode="rgb_array")
+        env.close()
+        return True
+    except Exception:
+        return False
 
 
 def collect_ale(env_name: str, episodes: int, max_steps: int, size: int,
@@ -68,22 +77,26 @@ def collect_scripted_pong(episodes: int, steps_per_episode: int, size: int,
     """
     import jax
     import jax.numpy as jnp
-    from keypoints_tpu.data.synthetic import _render_pong
+    from keypoints_tpu.data.synthetic import _render_pong, reflect_unit
 
     render = jax.jit(lambda balls, pads: _render_pong(balls, pads, size))
     rng = np.random.RandomState(seed)
     frames, lengths = [], []
     dt = 0.08
     for ep in range(episodes):
+        # Integrate the UNFOLDED position and fold only for rendering: the
+        # fold is then a true triangle wave of t, i.e. the ball bounces off
+        # the walls instead of jittering at them (or, with the old
+        # |mod(x+1,4)-2|-1 formula, mirror-teleporting every step).
         ball = rng.uniform(-0.7, 0.7, 2)
         vel = rng.uniform(0.5, 1.5, 2) * np.sign(rng.uniform(-1, 1, 2))
         balls = np.empty((steps_per_episode, 2), np.float32)
         pads = np.empty((steps_per_episode, 2), np.float32)
         for t in range(steps_per_episode):
-            balls[t] = ball
-            pads[t] = np.clip(ball[1] + 0.1 * rng.randn(2), -0.8, 0.8)
+            pos = reflect_unit(ball)
+            balls[t] = pos
+            pads[t] = np.clip(pos[1] + 0.1 * rng.randn(2), -0.8, 0.8)
             ball = ball + vel * dt
-            ball = np.abs(np.mod(ball + 1.0, 4.0) - 2.0) - 1.0
         ep_frames = np.asarray(render(jnp.asarray(balls), jnp.asarray(pads)))
         frames.append(ep_frames)
         lengths.append(steps_per_episode)

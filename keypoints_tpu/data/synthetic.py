@@ -54,6 +54,16 @@ def moving_dots_pair(key: jax.Array, batch: int, size: int = 64,
 
 # --- scripted Pong ----------------------------------------------------------
 
+
+def reflect_unit(x):
+    """Fold any real x into [-1, 1] by wall reflection (triangle wave).
+
+    Identity on [-1, 1]; 1.1 → 0.9, -1.3 → -0.7, 2.5 → -0.5. Works for jnp
+    and np arrays alike (pure ufunc arithmetic).
+    """
+    return 1.0 - abs((x + 1.0) % 4.0 - 2.0)
+
+
 _PADDLE_X = 0.9          # |x| of the two paddles
 _PADDLE_HALF_H = 0.15    # half-height in normalized units
 _PADDLE_HALF_W = 0.02
@@ -90,15 +100,16 @@ def scripted_pong_pair(key: jax.Array, batch: int, size: int = 64,
     (ball, paddle_l, paddle_r) positions at t+Δ, shape (B, 3, 2) — usable as
     ground truth for keypoint-locking tests.
     """
-    k_pos, k_vel, k_pad = jax.random.split(key, 3)
+    k_pos, k_speed, k_sign, k_pad = jax.random.split(key, 4)
     ball = jax.random.uniform(k_pos, (batch, 2), minval=-0.7, maxval=0.7)
-    speed = jax.random.uniform(k_vel, (batch, 2), minval=0.5, maxval=1.5)
-    sign = jnp.sign(jax.random.uniform(k_vel, (batch, 2)) - 0.5)
+    speed = jax.random.uniform(k_speed, (batch, 2), minval=0.5, maxval=1.5)
+    sign = jnp.sign(jax.random.uniform(k_sign, (batch, 2)) - 0.5)
     vel = speed * sign
 
-    ball2 = ball + vel * dt
-    # reflect off walls: fold into [-1, 1]
-    ball2 = jnp.abs(jnp.mod(ball2 + 1.0, 4.0) - 2.0) - 1.0
+    # reflect off walls: triangle-wave fold into [-1, 1]; identity in-range
+    # (1 - |mod(x+1,4)-2|; the earlier |mod(x+1,4)-2|-1 form NEGATES
+    # in-range x — every temporal pair had a mirror-teleporting ball).
+    ball2 = reflect_unit(ball + vel * dt)
 
     noise = 0.1 * jax.random.normal(k_pad, (batch, 2, 2))
     pad_y = jnp.clip(ball[:, 1:2, None] * jnp.ones((1, 2, 1)) + noise,

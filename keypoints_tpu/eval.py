@@ -83,9 +83,10 @@ def _cli(argv=None):
     cfg = get_config(args.preset)
     for item in args.override:
         k, v = item.split("=", 1)
+        import ast
         try:
-            v = eval(v, {}, {})
-        except Exception:
+            v = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
             pass
         cfg = cfg.override(**{k: v})
 

@@ -145,9 +145,12 @@ def _block_rows(n: int, hw_total: int = 4096) -> int:
     # ≥2 blocks in the grid so Mosaic double-buffers the row DMA against
     # compute, and block bytes capped so in+out tiles (+double buffers)
     # stay inside the 16 MB VMEM: 4 buffers × rows × hw × 4 B ≤ ~8 MB.
-    by_bytes = max(8, (8 << 20) // (4 * 4 * hw_total))
-    return max(8, min(_BLOCK_ROWS, by_bytes,
-                      n // 2 if n >= 16 else n))
+    by_bytes = max(8, (8 << 20) // (4 * 4 * hw_total) // 8 * 8)
+    # every candidate must be a multiple of 8 (Mosaic sublane tiling) —
+    # n//2 alone would give e.g. 10 for n=20 and fail to compile; when
+    # n < 16 the block equals the array's row dim, which Mosaic allows.
+    half = max(8, n // 2 // 8 * 8) if n >= 16 else n
+    return max(8, min(_BLOCK_ROWS, by_bytes, half)) if n >= 16 else n
 
 
 def _make_op(fwd_kernel, bwd_kernel, flat_layout):

@@ -175,9 +175,10 @@ def main(argv=None):
     overrides = {}
     for item in args.override:
         k, v = item.split("=", 1)
+        import ast
         try:
-            v = eval(v, {}, {})  # literals only: ints, floats, tuples
-        except Exception:
+            v = ast.literal_eval(v)  # literals only: ints, floats, tuples
+        except (ValueError, SyntaxError):
             pass  # keep string
         overrides[k] = v
     if args.steps is not None:

@@ -42,6 +42,22 @@ def test_override_type_coercion():
     assert cfg.train.batch_size == 16 and isinstance(cfg.train.batch_size, int)
 
 
+def test_override_tuple_from_string_parses_not_chars():
+    cfg = get_config("pong64").override(**{"model.encoder_filters": "(8, 16)"})
+    assert cfg.model.encoder_filters == (8, 16)
+    cfg2 = get_config("pong64").override(**{"model.encoder_filters": [8, 16]})
+    assert cfg2.model.encoder_filters == (8, 16)
+    with pytest.raises(TypeError, match="tuple"):
+        get_config("pong64").override(**{"model.encoder_filters": 8.5})
+
+
+def test_override_bool_from_string():
+    cfg = get_config("dp_celeba").override(**{"train.data_parallel": "false"})
+    assert cfg.train.data_parallel is False
+    with pytest.raises(TypeError, match="bool"):
+        get_config("dp_celeba").override(**{"train.data_parallel": "maybe"})
+
+
 def test_unknown_preset_raises():
     with pytest.raises(KeyError, match="unknown preset"):
         get_config("nope")

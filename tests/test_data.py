@@ -39,6 +39,35 @@ def test_scripted_pong_pair():
     assert float(f1[..., 3]. max()) > 0.9
 
 
+def test_reflect_unit_identity_and_fold():
+    from keypoints_tpu.data.synthetic import reflect_unit
+    x = np.array([-0.9, 0.0, 0.5, 1.0, -1.0])
+    np.testing.assert_allclose(reflect_unit(x), x, atol=1e-7)   # identity
+    np.testing.assert_allclose(reflect_unit(np.array([1.1, -1.3, 2.5])),
+                               [0.9, -0.7, -0.5], atol=1e-7)
+
+
+def test_pong_pair_ball_actually_moves():
+    """Regression: |mod(x+1,4)-2|-1 negated in-range positions, so every
+    temporal pair had the ball at the origin-mirrored spot and every
+    delta=2 stored pair had it at the IDENTICAL spot."""
+    f1, f2, state = scripted_pong_pair(jax.random.PRNGKey(3), 16, 64, dt=0.15)
+    # ball at t vs t+Δ: ball dominates the frame diff away from paddles
+    inner = slice(8, 56)
+    diff = np.abs(np.asarray(f1) - np.asarray(f2))[:, 0, :, inner]
+    assert float(diff.max(axis=(1, 2)).min()) > 0.3  # moved in every example
+
+
+def test_collected_rollout_pairs_move():
+    frames, lengths = collect_scripted_pong(2, 30, 64, seed=0)
+    pairs = episode_pairs(lengths, delta=2)
+    f = frames.astype(np.float32) / 255.0
+    disp = [np.abs(f[a] - f[b]).max() for a, b in pairs]
+    # small nonzero displacement in nearly all delta=2 pairs (a rare pair can
+    # straddle an exact reflection apex)
+    assert np.mean(np.asarray(disp) > 0.2) > 0.9
+
+
 def test_episode_pairs_respects_boundaries():
     pairs = episode_pairs([3, 2], delta=1)
     assert pairs.tolist() == [[0, 1], [1, 2], [3, 4]]

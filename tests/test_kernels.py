@@ -153,6 +153,15 @@ def test_warp_y_window_exact_on_aug_grids(win):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_block_rows_always_sublane_aligned():
+    """Mosaic requires row blocks divisible by 8 (or equal to the array's)."""
+    from keypoints_tpu.kernels.spatial_softmax_pallas import _block_rows
+    for n in (4, 8, 12, 16, 20, 24, 40, 100, 256, 1280):
+        r = _block_rows(n)
+        assert r % 8 == 0 or r == n, (n, r)
+        assert r <= max(n, 8)
+
+
 def test_warp_y_window_bound_formula():
     from keypoints_tpu.data.augment import WarpConfig, warp_y_window
     cfg = WarpConfig()
