@@ -101,6 +101,55 @@ class TorchKeypointAutoencoder(nn.Module):
         return recon, kp
 
 
+class TorchTransporter(nn.Module):
+    """Golden Kulkarni-2019 Transporter: transport equation + stop-grads.
+
+    Written in torch idiom from the published equations (feature transport
+    with detached source branch, keypoint-max attention masks) — the parity
+    reference for ``keypoints_tpu.models.Transporter``, including the
+    GRADIENT structure: ``.detach()`` here must behave exactly like
+    ``jax.lax.stop_gradient`` there (tested via parameter-grad agreement).
+    """
+
+    def __init__(self, num_keypoints=4, in_channels=1, out_channels=1,
+                 sigma=0.1, temperature=1.0, variant="marginal",
+                 encoder_filters=(32, 32, 64, 64, 128),
+                 encoder_strides=(1, 2, 1, 2, 1),
+                 decoder_filters=(128, 64, 32),
+                 decoder_upsample=(True, True, False), groups=8):
+        super().__init__()
+        self.sigma = sigma
+        self.temperature = temperature
+        self.variant = variant
+        self.encoder = TorchEncoder(in_channels, encoder_filters,
+                                    encoder_strides, groups)
+        self.keynet = TorchKeyNet(in_channels, num_keypoints, encoder_filters,
+                                  encoder_strides, groups)
+        self.decoder = TorchDecoder(encoder_filters[-1], out_channels,
+                                    decoder_filters, decoder_upsample, groups)
+
+    def _heat(self, x):
+        hm = self.keynet(x)
+        fn = marginal_softmax if self.variant == "marginal" else spatial_softmax2d
+        kp = fn(hm, self.temperature)
+        g = gaussian_maps(kp, hm.shape[2], hm.shape[3], self.sigma)
+        return kp, g.max(dim=1, keepdim=True).values     # (B, 1, h, w)
+
+    def extract_keypoints(self, x):
+        hm = self.keynet(x)
+        fn = marginal_softmax if self.variant == "marginal" else spatial_softmax2d
+        return fn(hm, self.temperature)
+
+    def forward(self, x_src, x_tgt):
+        phi_s = self.encoder(x_src).detach()
+        phi_t = self.encoder(x_tgt)
+        _, g_s = self._heat(x_src)
+        g_s = g_s.detach()
+        kp_t, g_t = self._heat(x_tgt)
+        transported = (1.0 - g_s) * (1.0 - g_t) * phi_s + g_t * phi_t
+        return self.decoder(transported), kp_t
+
+
 def rename_map_for_flax() -> dict[str, str]:
     """torch module paths → flax param paths for the converter.
 

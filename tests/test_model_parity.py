@@ -81,6 +81,112 @@ def test_full_forward_parity(variant):
     assert abs(t_loss - j_loss) < 1e-6
 
 
+@pytest.mark.parametrize("variant", ["marginal", "joint"])
+def test_transporter_forward_parity(variant):
+    """Transporter transport equation + masks: forward agreement (VERDICT r1
+    missing #2 — the place a silent sign/mask error survives ops-level tests)."""
+    from tests.golden.torch_model import TorchTransporter
+
+    torch.manual_seed(7)
+    tnet = TorchTransporter(
+        num_keypoints=3, in_channels=1, out_channels=1, sigma=0.15,
+        temperature=0.9, variant=variant, encoder_filters=FILTERS,
+        encoder_strides=STRIDES, decoder_filters=DEC_FILTERS,
+        decoder_upsample=DEC_UP, groups=4).eval()
+
+    cfg = get_config("transporter_atari").override(**{
+        "model.encoder_filters": FILTERS,
+        "model.encoder_strides": STRIDES,
+        "model.decoder_filters": DEC_FILTERS,
+        "model.decoder_upsample": DEC_UP,
+        "model.groups": 4,
+        "model.num_keypoints": 3,
+        "model.sigma": 0.15,
+        "model.temperature": 0.9,
+        "model.softmax_variant": variant,
+        "data.image_size": 32,
+        "train.compute_dtype": "float32"})
+    model = build_model(cfg)
+
+    x = jnp.zeros((1, 1, 32, 32))
+    ref = model.init(jax.random.PRNGKey(0), x, x)["params"]
+    params = _flax_params_from_torch(tnet)
+    assert_tree_shapes_match(params, ref)
+
+    rs = np.random.RandomState(11)
+    src = rs.rand(4, 1, 32, 32).astype(np.float32)
+    tgt = rs.rand(4, 1, 32, 32).astype(np.float32)
+
+    with torch.no_grad():
+        want_recon, want_kp = tnet(torch.tensor(src), torch.tensor(tgt))
+    got_recon, got_kp = model.apply({"params": params},
+                                    jnp.asarray(src), jnp.asarray(tgt))
+
+    l2 = np.linalg.norm(np.asarray(got_kp) - want_kp.numpy(), axis=-1)
+    assert l2.max() < 1e-3, l2.max()
+    np.testing.assert_allclose(np.asarray(got_recon), want_recon.numpy(),
+                               atol=5e-5)
+
+
+def test_transporter_gradient_parity():
+    """Parameter-gradient agreement pins the stop-grad recipe: torch
+    ``.detach()`` on the source branch must equal ``lax.stop_gradient``.
+    A missing/extra stop-grad or a flipped (1-G) mask changes these grads."""
+    from tests.golden.torch_model import TorchTransporter
+
+    torch.manual_seed(9)
+    tnet = TorchTransporter(
+        num_keypoints=3, in_channels=1, out_channels=1, sigma=0.15,
+        temperature=0.9, variant="marginal", encoder_filters=FILTERS,
+        encoder_strides=STRIDES, decoder_filters=DEC_FILTERS,
+        decoder_upsample=DEC_UP, groups=4)
+
+    cfg = get_config("transporter_atari").override(**{
+        "model.encoder_filters": FILTERS,
+        "model.encoder_strides": STRIDES,
+        "model.decoder_filters": DEC_FILTERS,
+        "model.decoder_upsample": DEC_UP,
+        "model.groups": 4,
+        "model.num_keypoints": 3,
+        "model.sigma": 0.15,
+        "model.temperature": 0.9,
+        "data.image_size": 32,
+        "train.compute_dtype": "float32"})
+    model = build_model(cfg)
+    params = _flax_params_from_torch(tnet)
+
+    rs = np.random.RandomState(13)
+    src = rs.rand(2, 1, 32, 32).astype(np.float32)
+    tgt = rs.rand(2, 1, 32, 32).astype(np.float32)
+
+    # torch grads
+    ts, tt = torch.tensor(src), torch.tensor(tgt)
+    recon, _ = tnet(ts, tt)
+    loss_t = ((recon - tt) ** 2).mean()
+    loss_t.backward()
+    tgrads = {n: p.grad if p.grad is not None else torch.zeros_like(p)
+              for n, p in tnet.named_parameters()}
+    g_torch = convert_torch_state_dict(tgrads, rename=rename_map_for_flax())
+
+    # jax grads
+    def loss_fn(p):
+        r, _ = model.apply({"params": p}, jnp.asarray(src), jnp.asarray(tgt))
+        return jnp.mean((r - jnp.asarray(tgt)) ** 2)
+
+    g_jax = jax.grad(loss_fn)(params)
+
+    flat_t = {"/".join(str(k.key) for k in path): np.asarray(v) for path, v
+              in jax.tree_util.tree_flatten_with_path(g_torch)[0]}
+    flat_j = {"/".join(str(k.key) for k in path): np.asarray(v) for path, v
+              in jax.tree_util.tree_flatten_with_path(g_jax)[0]}
+    assert set(flat_t) == set(flat_j)
+    # source-branch stop-grads: encoder still gets grads through the TARGET
+    # branch, so nothing should be exactly zero except by symmetry accident
+    for name in flat_j:
+        np.testing.assert_allclose(flat_j[name], flat_t[name], atol=2e-5,
+                                   err_msg=name)
+
+
 def test_extract_keypoints_parity():
     torch.manual_seed(1)
     tnet = TorchKeypointAutoencoder(
