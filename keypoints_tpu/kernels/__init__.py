@@ -14,7 +14,8 @@ from keypoints_tpu.coords import DEFAULT_ALIGN_CORNERS
 from keypoints_tpu.kernels.gaussian_pallas import gaussian_maps_pallas
 from keypoints_tpu.kernels.spatial_softmax_pallas import spatial_softmax_pallas
 from keypoints_tpu.kernels.warp_pallas import (MAX_LANES, _ROWS_PER_PROGRAM,
-                                               warp_bilinear_pallas)
+                                               warp_bilinear_pallas,
+                                               warp_field_pallas)
 from keypoints_tpu.ops.gaussian import gaussian_maps as _gaussian_jnp
 from keypoints_tpu.ops.spatial_softmax import spatial_softmax as _softmax_jnp
 from keypoints_tpu.ops.warp import grid_sample as _grid_sample_jnp
@@ -27,10 +28,22 @@ def _on_tpu() -> bool:
 def spatial_softmax(heatmaps: jnp.ndarray, temperature: float = 1.0,
                     variant: str = "marginal",
                     align_corners: bool = DEFAULT_ALIGN_CORNERS) -> jnp.ndarray:
-    # Measured on TPU v5e (difference-method bench, 2026-08-16): the fused
-    # flat-layout joint kernel beats XLA ~1.8x fwd / ~1.4x vjp; the marginal
-    # variant's 3-D-block kernel loses to XLA's fused reduce (~2.9x), so the
-    # marginal path stays on XLA until the lane-segment-sum layout lands.
+    # Measured on TPU v5e (fori-loop difference bench, 2026-08-16): the fused
+    # flat-layout joint kernel beats XLA ~1.8x fwd / ~1.4x vjp (XLA
+    # materializes the 2-D softmax probabilities in HBM). The MARGINAL
+    # variant stays on XLA by measurement, not omission — three Pallas
+    # designs were built and benchmarked at the preset shapes
+    # (B=128,K=10,32²):
+    #   * (R,H,W) 3-D blocks: W<128 pads lanes — 2.9x slower than XLA;
+    #   * flat-layout circular-roll trees (benchmarks/bench_marginal.py,
+    #     r2): ~log2(HW) VPU passes — 49us vs XLA 11us fwd;
+    #   * flat-layout MXU indicator-matmul (the version in
+    #     spatial_softmax_pallas.py, tested + shipped): 29us vs XLA 11us.
+    # XLA's fused two-pass reduce is ~2x off the single-HBM-read floor
+    # (~6.5us) and the op is ~0.03% of the train step; no one-pass Mosaic
+    # schedule exists under the documented layout limits (no lane-splitting
+    # reshape, no stride-W segment reduce), so XLA is the TPU-optimal
+    # routing for this variant.
     if _on_tpu() and variant == "joint":
         return spatial_softmax_pallas(heatmaps, temperature, variant,
                                       align_corners)
@@ -70,9 +83,34 @@ def warp_sample(image: jnp.ndarray, grid: jnp.ndarray,
     return _grid_sample_jnp(image, grid, padding_mode, align_corners)
 
 
+def warp_sample_field(image: jnp.ndarray, field: jnp.ndarray,
+                      out_height: int, out_width: int,
+                      padding_mode: str = "zeros",
+                      align_corners: bool = DEFAULT_ALIGN_CORNERS,
+                      y_window: int | None = None) -> jnp.ndarray:
+    """Warp from a coarse (B, F, F, 2) field (data path — no gradient).
+
+    On TPU: the fused Pallas kernel evaluates the field in-kernel, so the
+    dense (B, H, W, 2) grid never exists in HBM, the vertical window is
+    per-row (no 8-row-block slack), and W=256 compiles (output chunking
+    moved into the pallas grid). Elsewhere: upsample + ``grid_sample``.
+    """
+    b, c, h, w = image.shape
+    ho, wo = int(out_height), int(out_width)
+    span = min(wo, MAX_LANES)
+    if (_on_tpu() and w <= 4 * MAX_LANES and wo % span == 0
+            and ho % _ROWS_PER_PROGRAM == 0):
+        return warp_field_pallas(image, field, ho, wo, padding_mode,
+                                 align_corners, y_window=y_window)
+    from keypoints_tpu.ops.warp import upsample_field_aligned
+    grid = upsample_field_aligned(field, ho, wo)
+    return _grid_sample_jnp(image, grid, padding_mode, align_corners)
+
+
 __all__ = ["spatial_softmax", "gaussian_maps", "warp_sample",
-           "spatial_softmax_pallas", "gaussian_maps_pallas",
-           "warp_bilinear_pallas"]
+           "warp_sample_field", "spatial_softmax_pallas",
+           "gaussian_maps_pallas", "warp_bilinear_pallas",
+           "warp_field_pallas"]
 
 
 def extract_and_render(heatmaps: jnp.ndarray, out_height: int, out_width: int,
@@ -83,8 +121,15 @@ def extract_and_render(heatmaps: jnp.ndarray, out_height: int, out_width: int,
     """The keypoint bottleneck in one shot: heatmaps → (coords, Gaussian maps).
 
     On TPU with the joint variant this is the fully fused Pallas kernel
-    (extract → re-render without leaving VMEM, SURVEY §2.2); otherwise the
-    soft-argmax and raster dispatch separately.
+    (extract → re-render without leaving VMEM, SURVEY §2.2); the marginal
+    variant's fused kernel exists too (``softargmax_raster_fused(...,
+    variant="marginal")``, tested) but measured SLOWER than XLA-softmax +
+    Pallas-raster at the preset shapes (27us vs 19us — the in-kernel
+    marginal reduce costs more than XLA's, see ``spatial_softmax`` above),
+    so marginal dispatches the two stages separately: that IS the minimal
+    HBM schedule for this variant (heatmap read once by the XLA reduce,
+    (N,2) coords are the only intermediate, maps written once by the
+    raster).
     """
     if _on_tpu() and variant == "joint":
         from keypoints_tpu.kernels.fused_bottleneck import \

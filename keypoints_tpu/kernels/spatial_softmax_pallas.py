@@ -62,14 +62,21 @@ def _axis_vec(n: int, align_corners: bool) -> jnp.ndarray:
 
 # --- joint 2-D variant (flat layout) ---------------------------------------
 
-def _joint_fwd_kernel(h_ref, out_ref, *, hw, temperature, align_corners):
-    x = h_ref[...].astype(jnp.float32) / temperature          # (R, HW)
+def _joint_extract(x, hw, align_corners):
+    """x = logits/T as (R, HW) → (ex, ey) each (R, 1). Shared by the
+    standalone kernel and the fused bottleneck."""
     ux, vy = _flat_coord_planes(*hw, align_corners)
     m = jnp.max(x, axis=1, keepdims=True)                     # (R, 1)
     e = jnp.exp(x - m)
     s = jnp.sum(e, axis=1, keepdims=True)
     ex = jnp.sum(e * ux, axis=1, keepdims=True) / s           # (R, 1)
     ey = jnp.sum(e * vy, axis=1, keepdims=True) / s
+    return ex, ey
+
+
+def _joint_fwd_kernel(h_ref, out_ref, *, hw, temperature, align_corners):
+    x = h_ref[...].astype(jnp.float32) / temperature          # (R, HW)
+    ex, ey = _joint_extract(x, hw, align_corners)
     out_ref[...] = jnp.concatenate([ex, ey], axis=1)
 
 
@@ -87,41 +94,85 @@ def _joint_bwd_kernel(h_ref, kp_ref, g_ref, out_ref, *, hw, temperature,
                     / temperature).astype(out_ref.dtype)
 
 
-# --- marginal variant (3-D blocks) ------------------------------------------
-# The marginal form needs row sums over H and column sums over W; on the flat
-# layout the H-reduction is a stride-W lane segment sum, and Mosaic rejects
-# the lane-splitting reshape (R, HW)->(R*H, W) ("unsupported shape cast").
-# So this variant keeps (R, H, W) blocks: H on sublanes, W on lanes — both
-# marginals are then native single-axis reductions. W<128 pads lanes, but the
-# marginal math is one pass over the data either way.
+# --- marginal variant (flat layout, MXU-gathered marginals) -----------------
+# The marginal form needs column sums over H (a stride-W lane segment sum)
+# and row sums over W (contiguous W-lane segments). Mosaic rejects the
+# lane-splitting reshape (R, HW)->(R*H, W); a (R, H, W) 3-D block pads W<128
+# lanes (measured 2.9x slower than XLA); and a circular-roll tree costs
+# ~log2(HW) full VPU passes (measured ~5x the single-HBM-read floor). The
+# TPU-native answer: the marginal sums are MATMULS against 0/1 indicator
+# matrices built in-kernel from iota compares —
+#
+#     hx = X @ Sx,  Sx[i, x] = [i mod W == x]      (R,HW)@(HW,W) -> (R,W)
+#     hy = X @ Sy,  Sy[i, y] = [i div W == y]      (R,HW)@(HW,H) -> (R,H)
+#
+# one HBM read of the heatmap, a few hundred MFLOPs on the otherwise-idle
+# MXU, then tiny softmax-expectations on (R, W)/(R, H). The backward
+# broadcasts px/py back to (R, HW) the same way (px @ Sxᵀ).
 
-def _marginal_fwd_kernel(h_ref, out_ref, *, temperature, align_corners):
-    x = h_ref[...].astype(jnp.float32)                        # (R, H, W)
-    _, hh, ww = x.shape
-    hx = jnp.sum(x, axis=1) / temperature                     # (R, W)
-    hy = jnp.sum(x, axis=2) / temperature                     # (R, H)
+def _marginal_selectors(h, w, dtype=jnp.float32):
+    """(HW, W) and (HW, H) 0/1 marginal-sum indicator matrices."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (h * w, max(h, w)), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (h * w, max(h, w)), 1)
+    iy = i // w
+    ix = i - iy * w
+    sx = (ix == j)[:, :w].astype(dtype)
+    sy = (iy == j)[:, :h].astype(dtype)
+    return sx, sy
+
+
+def _marginal_stats(x, hw, align_corners):
+    """x = logits/T as (R, HW) → (px (R,W), py (R,H), xs, ys, ex, ey)."""
+    h, w = hw
+    sx, sy = _marginal_selectors(h, w)
+    # HIGHEST precision: the MXU's default bf16 input rounding costs ~4e-2
+    # coordinate error (measured on v5e) — far over the 1e-3 parity bar.
+    hx = jax.lax.dot_general(x, sx, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)  # (R, W)
+    hy = jax.lax.dot_general(x, sy, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)  # (R, H)
     px = jax.nn.softmax(hx, axis=-1)
     py = jax.nn.softmax(hy, axis=-1)
-    ex = jnp.sum(px * _axis_vec(ww, align_corners), axis=1, keepdims=True)
-    ey = jnp.sum(py * _axis_vec(hh, align_corners), axis=1, keepdims=True)
+    xs = _axis_vec(w, align_corners)                          # (1, W)
+    ys = _axis_vec(h, align_corners)                          # (1, H)
+    ex = jnp.sum(px * xs, axis=1, keepdims=True)              # (R, 1)
+    ey = jnp.sum(py * ys, axis=1, keepdims=True)
+    return px, py, xs, ys, ex, ey
+
+
+def _marginal_extract(x, hw, align_corners):
+    """x = logits/T as (R, HW) → (ex, ey) each (R, 1)."""
+    _, _, _, _, ex, ey = _marginal_stats(x, hw, align_corners)
+    return ex, ey
+
+
+def _marginal_fwd_kernel(h_ref, out_ref, *, hw, temperature, align_corners):
+    x = h_ref[...].astype(jnp.float32) / temperature          # (R, HW)
+    ex, ey = _marginal_extract(x, hw, align_corners)
     out_ref[...] = jnp.concatenate([ex, ey], axis=1)
 
 
-def _marginal_bwd_kernel(h_ref, kp_ref, g_ref, out_ref, *, temperature,
+def _marginal_bwd_kernel(h_ref, kp_ref, g_ref, out_ref, *, hw, temperature,
                          align_corners):
-    x = h_ref[...].astype(jnp.float32)                        # (R, H, W)
-    _, hh, ww = x.shape
-    hx = jnp.sum(x, axis=1) / temperature
-    hy = jnp.sum(x, axis=2) / temperature
-    px = jax.nn.softmax(hx, axis=-1)                          # (R, W)
-    py = jax.nn.softmax(hy, axis=-1)                          # (R, H)
-    kp = kp_ref[...]
+    h, w = hw
+    x = h_ref[...].astype(jnp.float32) / temperature          # (R, HW)
+    sx, sy = _marginal_selectors(h, w)
+    px, py, xs, ys, _, _ = _marginal_stats(x, hw, align_corners)
+    kp = kp_ref[...]                                          # (R, 2)
     g = g_ref[...]
-    dx = px * (_axis_vec(ww, align_corners) - kp[:, 0:1]) * g[:, 0:1] \
-        / temperature                                         # (R, W)
-    dy = py * (_axis_vec(hh, align_corners) - kp[:, 1:2]) * g[:, 1:2] \
-        / temperature                                         # (R, H)
-    out_ref[...] = (dx[:, None, :] + dy[:, :, None]).astype(out_ref.dtype)
+    # d ex / d v[y, x] = px[x]·(xs[x] − ex) / T — assemble the per-axis
+    # factors at marginal width, then broadcast to (R, HW) via Sᵀ matmuls.
+    fx = g[:, 0:1] * px * (xs - kp[:, 0:1])                   # (R, W)
+    fy = g[:, 1:2] * py * (ys - kp[:, 1:2])                   # (R, H)
+    bx = jax.lax.dot_general(fx, sx, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)  # (R, HW)
+    by = jax.lax.dot_general(fy, sy, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    out_ref[...] = ((bx + by) / temperature).astype(out_ref.dtype)
 
 
 # --- pallas_call plumbing ---------------------------------------------------
@@ -210,7 +261,7 @@ def _make_op(fwd_kernel, bwd_kernel, flat_layout):
 
 _joint_op = _make_op(_joint_fwd_kernel, _joint_bwd_kernel, flat_layout=True)
 _marginal_op = _make_op(_marginal_fwd_kernel, _marginal_bwd_kernel,
-                        flat_layout=False)
+                        flat_layout=True)
 
 
 def spatial_softmax_pallas(heatmaps: jnp.ndarray, temperature: float = 1.0,

@@ -153,6 +153,53 @@ def test_warp_y_window_exact_on_aug_grids(win):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+def test_warp_field_matches_upsample_grid_sample(padding):
+    """Field kernel == upsample_field_aligned + grid_sample, exactly."""
+    from keypoints_tpu.data.augment import WarpConfig, random_warp_field
+    from keypoints_tpu.kernels.warp_pallas import warp_field_pallas
+    from keypoints_tpu.ops.warp import upsample_field_aligned
+    img = jnp.asarray(np.random.RandomState(5).rand(3, 3, 64, 64), jnp.float32)
+    field = random_warp_field(jax.random.PRNGKey(5), 3, WarpConfig())
+    got = warp_field_pallas(img, field, 64, 64, padding, True,
+                            interpret=True)
+    grid = upsample_field_aligned(field, 64, 64)
+    want = grid_sample(img, grid, padding, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_warp_field_windowed_and_wide():
+    """Per-row y-window stays exact; 256-wide output runs via grid chunks."""
+    from keypoints_tpu.data.augment import (WarpConfig, random_warp_field,
+                                            warp_y_window)
+    from keypoints_tpu.kernels.warp_pallas import warp_field_pallas
+    from keypoints_tpu.ops.warp import upsample_field_aligned
+    cfg = WarpConfig()
+    img = jnp.asarray(np.random.RandomState(6).rand(2, 1, 256, 256),
+                      jnp.float32)
+    field = random_warp_field(jax.random.PRNGKey(6), 2, cfg)
+    win = warp_y_window(cfg, 256)
+    got = warp_field_pallas(img, field, 256, 256, "border", True,
+                            y_window=win, interpret=True)
+    grid = upsample_field_aligned(field, 256, 256)
+    want = grid_sample(img, grid, "border", True)
+    # 1e-4: in-kernel field eval orders the f32 lerp arithmetic differently
+    # from the XLA upsample (max observed diff 2.8e-5 at 256²)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_warp_sample_field_dispatch_cpu_oracle():
+    from keypoints_tpu.data.augment import WarpConfig, random_warp_field
+    from keypoints_tpu.kernels import warp_sample_field
+    from keypoints_tpu.ops.warp import upsample_field_aligned
+    img = jnp.asarray(np.random.RandomState(7).rand(2, 3, 32, 32), jnp.float32)
+    field = random_warp_field(jax.random.PRNGKey(7), 2, WarpConfig())
+    got = warp_sample_field(img, field, 32, 32, "border", True)
+    want = grid_sample(img, upsample_field_aligned(field, 32, 32),
+                       "border", True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
 def test_block_rows_always_sublane_aligned():
     """Mosaic requires row blocks divisible by 8 (or equal to the array's)."""
     from keypoints_tpu.kernels.spatial_softmax_pallas import _block_rows
@@ -200,6 +247,39 @@ def test_fused_bottleneck_grad():
 
     def f_oracle(x):
         kp = spatial_softmax2d(x, 1.1)
+        maps = gaussian_maps(kp, 12, 16, 0.2)
+        return jnp.sum((maps - tgt_maps) ** 2) + jnp.sum((kp - tgt_kp) ** 2)
+
+    g1 = jax.grad(f_fused)(hm)
+    g2 = jax.grad(f_oracle)(hm)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+@pytest.mark.parametrize("align", [True, False])
+def test_fused_bottleneck_marginal_forward(align):
+    from keypoints_tpu.ops.spatial_softmax import marginal_softmax
+    hm = jnp.asarray(rand(2, 3, 16, 24, seed=31, scale=4))
+    kp, maps = softargmax_raster_fused(hm, 12, 16, 0.7, 0.15, align,
+                                       variant="marginal", interpret=True)
+    kp_o = marginal_softmax(hm, 0.7, align)
+    maps_o = gaussian_maps(kp_o, 12, 16, 0.15, align)
+    np.testing.assert_allclose(np.asarray(kp), np.asarray(kp_o), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(maps), np.asarray(maps_o), atol=1e-5)
+
+
+def test_fused_bottleneck_marginal_grad():
+    from keypoints_tpu.ops.spatial_softmax import marginal_softmax
+    hm = jnp.asarray(rand(1, 2, 12, 16, seed=32, scale=3))
+    tgt_maps = jnp.asarray(rand(1, 2, 12, 16, seed=33))
+    tgt_kp = jnp.asarray(rand(1, 2, 2, seed=34))
+
+    def f_fused(x):
+        kp, maps = softargmax_raster_fused(x, 12, 16, 1.1, 0.2,
+                                           variant="marginal", interpret=True)
+        return jnp.sum((maps - tgt_maps) ** 2) + jnp.sum((kp - tgt_kp) ** 2)
+
+    def f_oracle(x):
+        kp = marginal_softmax(x, 1.1)
         maps = gaussian_maps(kp, 12, 16, 0.2)
         return jnp.sum((maps - tgt_maps) ** 2) + jnp.sum((kp - tgt_kp) ** 2)
 
