@@ -33,6 +33,7 @@ class DataConfig:
     channels: int = 3
     pair_mode: str = "warp"           # warp (TPS-synthesized) | temporal (stored pairs)
     data_dir: str = "data"
+    loader_workers: int = 8           # host threads for bigger-than-HBM stores
     # augmentation (device-side)
     tps_scale: float = 0.05
     rotate: float = 0.1

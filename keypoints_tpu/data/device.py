@@ -1,22 +1,30 @@
 """Device-resident datasets: the whole store lives in HBM, sampling in jit.
 
-The packed stores at research scale are tiny next to HBM (4500 Pong frames
-= 18 MB; 200k CelebA crops at 128² u8 = 9.8 GB — still fits v5e's 16 GB), so
-the TPU-native way to serve them is to upload the uint8 array once and do
-*all* sampling on device: indices from ``jax.random`` inside the train step,
-frame gather as an XLA take over the leading axis (whole-frame DMAs — the
-fast kind of gather), u8→f32 conversion fused into the consumer. The host
-does nothing per step; there is no H2D traffic at all after upload.
+Packed stores at research scale fit HBM (4500 Pong frames = 18 MB; 200k
+CelebA crops at 128² u8 = 9.8 GB vs v5e's 16 GB), so the TPU-native way to
+serve them is to upload the uint8 array once and do *all* sampling on
+device: indices from ``jax.random`` inside the train step, frame gather as
+an XLA take over the leading axis (whole-frame DMAs — the fast kind of
+gather), u8→f32 conversion fused into the consumer. The host does nothing
+per step; there is no H2D traffic at all after upload.
+
+The budget is measured, not guessed: ``device_memory_budget()`` asks the
+backend for free HBM (``memory_stats``) and keeps a headroom for
+params/activations/double-buffering, so a 9.8 GB CelebA store IS admitted
+on an idle 16 GB chip while the same store is correctly rejected on a busy
+one. Backends without memory stats fall back to a conservative 4 GB.
 
 Measured (transporter_atari, b128 @64²): host grain streaming ~2000
 frames/s → device-resident ~5000+ (the synthetic-data ceiling).
 
 Falls back gracefully: ``fits_in_memory`` gates on array bytes; the grain
-streams in ``records.py`` remain the path for bigger-than-HBM datasets and
-multi-host sharding.
+streams in ``records.py`` (``workers>1`` for a threaded reader) remain the
+path for bigger-than-HBM datasets and multi-host sharding.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,12 +32,36 @@ import numpy as np
 
 from keypoints_tpu.data.records import FrameStore
 
-# Leave headroom for params/activations: use at most ~1/4 of a 16 GB chip.
+# Fallback when the backend exposes no memory stats: ~1/4 of a 16 GB chip.
 DEFAULT_BUDGET_BYTES = 4 << 30
+# Kept free for params, activations, and compiler scratch when sizing from
+# real memory stats (the celeba128 step peaks well under 2 GB; 3 GB is safe).
+HEADROOM_BYTES = 3 << 30
+
+
+def device_memory_budget(headroom_bytes: int = HEADROOM_BYTES) -> int:
+    """Bytes of HBM a resident dataset may use: free memory minus headroom.
+
+    Uses the backend's live ``memory_stats`` when available (TPU plugins
+    report ``bytes_limit``/``bytes_in_use``); otherwise the conservative
+    ``DEFAULT_BUDGET_BYTES`` fallback.
+    """
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get(
+            "bytes_reservable_limit")
+        if limit:
+            free = int(limit) - int(stats.get("bytes_in_use", 0))
+            return max(0, free - headroom_bytes)
+    except Exception:
+        pass
+    return DEFAULT_BUDGET_BYTES
 
 
 def fits_in_memory(store: FrameStore,
-                   budget_bytes: int = DEFAULT_BUDGET_BYTES) -> bool:
+                   budget_bytes: Optional[int] = None) -> bool:
+    if budget_bytes is None:
+        budget_bytes = device_memory_budget()
     return store.frames.nbytes <= budget_bytes
 
 
@@ -43,7 +75,9 @@ class DeviceDataset:
     """
 
     def __init__(self, store: FrameStore,
-                 budget_bytes: int = DEFAULT_BUDGET_BYTES):
+                 budget_bytes: Optional[int] = None):
+        if budget_bytes is None:
+            budget_bytes = device_memory_budget()
         if not fits_in_memory(store, budget_bytes):
             raise ValueError(
                 f"store is {store.frames.nbytes / 1e9:.2f} GB, over the "

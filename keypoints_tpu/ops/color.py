@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 
 # ITU-R 601 luma weights — what torchvision's rgb_to_grayscale uses.
-_LUMA = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+# Plain tuple, NOT a jnp array: a module-level device array would initialize
+# the XLA backend at import time, which breaks jax.distributed.initialize
+# (it must run before any backend access) for anyone importing this package
+# first on a multi-host deployment.
+_LUMA = (0.299, 0.587, 0.114)
 
 
 def _factor(key, strength: float, batch: int, dtype) -> jnp.ndarray:
@@ -29,7 +33,8 @@ def _factor(key, strength: float, batch: int, dtype) -> jnp.ndarray:
 
 def _grayscale(image: jnp.ndarray) -> jnp.ndarray:
     if image.shape[1] == 3:
-        return jnp.einsum("bchw,c->bhw", image, _LUMA.astype(image.dtype))[:, None]
+        luma = jnp.asarray(_LUMA, dtype=image.dtype)
+        return jnp.einsum("bchw,c->bhw", image, luma)[:, None]
     return image.mean(axis=1, keepdims=True)
 
 

@@ -15,6 +15,7 @@ Step-loop design for TPU throughput [B:5]:
 from __future__ import annotations
 
 import argparse
+import os
 import time
 from typing import Iterator
 
@@ -33,35 +34,51 @@ from keypoints_tpu.training import (TrainState, build_model, init_state,
 from keypoints_tpu.viz import Logger, image_grid, overlay_keypoints
 
 
-def make_batch_iterator(cfg: Config) -> Iterator:
-    """→ iterator of raw-image batches (warp mode) or (src, tgt) pairs."""
+def make_batch_iterator(cfg: Config, start_step: int = 0) -> Iterator:
+    """→ iterator of raw-image batches (warp mode) or (src, tgt) pairs.
+
+    The stream is a pure function of ``(cfg.train.seed, step index)``: batch
+    ``i`` is derived by folding ``i`` into a base key (or indexing the grain
+    pipeline at ``i``), so resuming from a checkpoint at step N with
+    ``start_step=N`` replays the EXACT continuation of the uninterrupted
+    stream — exact-resume determinism (SURVEY §5 checkpoint/resume) without
+    carrying iterator state in the checkpoint.
+    """
+    import itertools
     d, b = cfg.data, cfg.train.batch_size
     warp_mode = d.pair_mode == "warp"
     if d.dataset == "synthetic_dots":
         def gen():
-            key = jax.random.PRNGKey(cfg.train.seed + 1)
+            base = jax.random.PRNGKey(cfg.train.seed + 1)
             # warp mode synthesizes its own (src, tgt) pair inside the train
             # step from a raw batch; temporal mode wants the generated pair.
             mk = jax.jit(lambda k: moving_dots_pair(
                 k, b, d.image_size, num_dots=cfg.model.num_keypoints,
                 channels=d.channels, max_shift=0.8)[:2])
-            while True:
-                key, sub = jax.random.split(key)
-                pair = mk(sub)
+            for i in itertools.count(start_step):
+                pair = mk(jax.random.fold_in(base, i))
                 yield pair[0] if warp_mode else pair
         return gen()
     if d.dataset == "synthetic_pong":
         def gen():
-            key = jax.random.PRNGKey(cfg.train.seed + 1)
+            base = jax.random.PRNGKey(cfg.train.seed + 1)
             mk = jax.jit(lambda k: scripted_pong_pair(k, b, d.image_size)[:2])
-            while True:
-                key, sub = jax.random.split(key)
-                pair = mk(sub)
+            for i in itertools.count(start_step):
+                pair = mk(jax.random.fold_in(base, i))
                 yield pair[0] if warp_mode else pair
         return gen()
     # stored datasets: device-resident sampling when the store fits in HBM
     # (zero host work and zero H2D per step), grain streams otherwise.
-    store = FrameStore(f"{d.data_dir}/{d.dataset}_{d.image_size}.npy")
+    store_path = f"{d.data_dir}/{d.dataset}_{d.image_size}.npy"
+    if not os.path.exists(store_path) and d.dataset == "pose":
+        # no offline human-pose footage ships with the repo: synthesize the
+        # articulated-figure stand-in so pose256 trains out of the box
+        # (swap in real frames via data.records.image_folder_to_store).
+        from keypoints_tpu.data.pose import generate_pose_store
+        print(f"generating synthetic pose store at {store_path}", flush=True)
+        generate_pose_store(store_path, size=d.image_size,
+                            seed=cfg.train.seed)
+    store = FrameStore(store_path)
     from keypoints_tpu.data.device import DeviceDataset, fits_in_memory
     if fits_in_memory(store):
         ds = DeviceDataset(store)
@@ -70,14 +87,17 @@ def make_batch_iterator(cfg: Config) -> Iterator:
             else (lambda k: ds.sample(k, b)))
 
         def gen():
-            key = jax.random.PRNGKey(cfg.train.seed + 3)
-            while True:
-                key, sub = jax.random.split(key)
-                yield sample(sub)
+            base = jax.random.PRNGKey(cfg.train.seed + 3)
+            for i in itertools.count(start_step):
+                yield sample(jax.random.fold_in(base, i))
         return gen()
     if d.pair_mode == "temporal":
-        return prefetch(pair_stream(store, b, cfg.train.seed))
-    return prefetch(single_stream(store, b, cfg.train.seed))
+        return prefetch(pair_stream(store, b, cfg.train.seed,
+                                    start_batch=start_step,
+                                    workers=d.loader_workers))
+    return prefetch(single_stream(store, b, cfg.train.seed,
+                                  start_batch=start_step,
+                                  workers=d.loader_workers))
 
 
 def make_loss(cfg: Config):
@@ -118,8 +138,11 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
         print(f"resumed from step {start}", flush=True)
 
     log = Logger(logdir)
+    # the step rng is fold_in(rng, state.step) inside the step and the data
+    # stream is indexed by step, so a resumed run is bit-identical to the
+    # uninterrupted one (tested in test_train_integration.py).
     rng = jax.random.PRNGKey(t.seed + 2)
-    batches = make_batch_iterator(cfg)
+    batches = make_batch_iterator(cfg, start_step=int(np.asarray(state.step)))
     eval_batch = None
     last_t, last_step = time.time(), int(np.asarray(state.step))
 

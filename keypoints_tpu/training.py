@@ -26,7 +26,13 @@ from keypoints_tpu.models import KeypointAutoencoder, Transporter
 
 
 class TrainState(NamedTuple):
-    """Minimal pytree train state: {step, params, opt_state}."""
+    """Minimal pytree train state: {step, params, opt_state}.
+
+    No rng or data-iterator state is carried: the per-step rng is
+    ``fold_in(PRNGKey(seed+2), step)`` and the data stream is indexed by
+    ``step`` (train.make_batch_iterator), so both are pure functions of the
+    seed and this counter — a checkpoint of this tuple alone gives
+    bit-identical resume (SURVEY §5 checkpoint/resume)."""
     step: jnp.ndarray
     params: dict
     opt_state: optax.OptState

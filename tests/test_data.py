@@ -130,6 +130,72 @@ def test_device_dataset_sampling(tmp_path):
         assert jb == ja + 1
 
 
+def test_threaded_stream_matches_serial(tmp_path):
+    """workers>1 must deliver the exact same batch sequence as workers=1
+    (the grain pipeline is index-random-access; threads only overlap IO)."""
+    import itertools
+    frames = (np.random.RandomState(1).rand(40, 1, 8, 8) * 255).astype(np.uint8)
+    path = str(tmp_path / "t.npy")
+    FrameStore.write(path, frames, episode_pairs([40], 1))
+    store = FrameStore(path)
+    a = list(itertools.islice(single_stream(store, 4, seed=7), 10))
+    b = list(itertools.islice(single_stream(store, 4, seed=7, workers=4), 10))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # and resume: start_batch=5 continues the same sequence
+    c = list(itertools.islice(
+        single_stream(store, 4, seed=7, start_batch=5, workers=4), 5))
+    for x, y in zip(a[5:], c):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_device_memory_budget_fallback(monkeypatch):
+    from keypoints_tpu.data import device as dev
+    # CPU backend exposes no limit → conservative default
+    assert dev.device_memory_budget() == dev.DEFAULT_BUDGET_BYTES
+
+    class FakeDev:
+        def memory_stats(self):
+            return {"bytes_limit": 16 << 30, "bytes_in_use": 2 << 30}
+
+    monkeypatch.setattr(jax, "devices", lambda: [FakeDev()])
+    assert dev.device_memory_budget() == (16 << 30) - (2 << 30) - (3 << 30)
+
+
+def test_pose_generator_writes_trainable_store(tmp_path):
+    from keypoints_tpu.data.pose import generate_pose_store, joint_positions, generate_episode
+    path = generate_pose_store(str(tmp_path / "pose_64.npy"), episodes=2,
+                               steps_per_episode=6, size=64)
+    store = FrameStore(path)
+    assert store.frames.shape == (12, 3, 64, 64)
+    assert store.frames.dtype == np.uint8
+    assert len(store.pairs) == 8                      # 2 * (6 - 2)
+    f = store.frames.astype(np.float32) / 255.0
+    assert f.max() > 0.8                              # figure present
+    # all three channels (torso/arms/legs) drawn
+    assert (f.reshape(12, 3, -1).max(axis=-1) > 0.5).all()
+    # figure MOVES between temporal frames
+    assert np.abs(f[0] - f[4]).max() > 0.3
+    # 16 joints, inside the frame
+    segs = generate_episode(4, np.random.RandomState(0))
+    kp = joint_positions(segs)
+    assert kp.shape == (4, 16, 2)
+    assert np.abs(kp).max() <= 1.5
+
+
+def test_pose_autogeneration_in_trainer(tmp_path, monkeypatch):
+    """pose preset trains end-to-end with NO hand-placed files (VERDICT #9)."""
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.train import make_batch_iterator
+    monkeypatch.chdir(tmp_path)
+    cfg = get_config("pose256").override(**{
+        "data.image_size": 32, "train.batch_size": 2})
+    it = make_batch_iterator(cfg)
+    batch = next(it)
+    assert batch.shape == (2, 3, 32, 32)
+    assert (tmp_path / "data" / "pose_32.npy").exists()
+
+
 def test_device_dataset_rejects_oversized(tmp_path):
     from keypoints_tpu.data.device import DeviceDataset
     frames = np.zeros((4, 1, 8, 8), np.uint8)

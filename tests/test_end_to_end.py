@@ -94,6 +94,32 @@ def test_perceptual_loss_train_step():
     assert float(np.asarray(m["grad_norm"])) > 0
 
 
+def test_resume_is_bit_exact(tmp_path, monkeypatch):
+    """train(8) == train(4)+resume(4): the step rng and the data stream are
+    both pure functions of (seed, step), so an interrupted run continues the
+    exact trajectory (SURVEY §5 checkpoint/resume; VERDICT r1 missing #7)."""
+    from keypoints_tpu.train import train
+    monkeypatch.chdir(tmp_path)
+
+    def cfg(ckdir, steps):
+        return _small(get_config("pong64"), **{
+            "data.dataset": "synthetic_dots",
+            "train.steps": steps,
+            "train.log_every": 100,
+            "train.eval_every": 1000,
+            "train.checkpoint_every": 4,
+            "train.checkpoint_dir": ckdir})
+
+    s_full = train(cfg("ck_full", 8))
+    train(cfg("ck_split", 4))             # checkpoints at step 4
+    s_resumed = train(cfg("ck_split", 8))  # resumes from 4, runs 4 more
+
+    flat_a = jax.tree_util.tree_leaves(s_full.params)
+    flat_b = jax.tree_util.tree_leaves(s_resumed.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_train_cli_resume(tmp_path, monkeypatch, capsys):
     """CLI path twice: second run resumes from the first's checkpoint."""
     from keypoints_tpu import train as train_mod
