@@ -22,10 +22,10 @@ import jax
 import jax.numpy as jnp
 
 from keypoints_tpu.coords import DEFAULT_ALIGN_CORNERS, axis_coords
-# warp_sample dispatches to the fused Pallas warp kernel on TPU (5x faster
-# than the XLA gather); augmentation takes no gradients so the forward-only
-# kernel is safe here.
-from keypoints_tpu.kernels import warp_sample
+# warp_sample / warp_sample_field dispatch to the fused Pallas warp kernels
+# on TPU (vs XLA's element gather); augmentation takes no gradients so the
+# forward-only kernels are safe here.
+from keypoints_tpu.kernels import warp_sample, warp_sample_field
 from keypoints_tpu.ops.color import color_jitter
 from keypoints_tpu.ops.warp import tps_grid, upsample_field_aligned
 
@@ -51,10 +51,16 @@ def _control_grid(n: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.stack([gx, gy], axis=-1).reshape(-1, 2)
 
 
-def random_warp_grid(key: jax.Array, batch: int, height: int, width: int,
-                     cfg: WarpConfig = WarpConfig(),
-                     align_corners: bool = DEFAULT_ALIGN_CORNERS) -> jnp.ndarray:
-    """Random TPS∘affine backward sampling grid, (B, H, W, 2)."""
+def random_warp_field(key: jax.Array, batch: int,
+                      cfg: WarpConfig = WarpConfig(),
+                      align_corners: bool = DEFAULT_ALIGN_CORNERS
+                      ) -> jnp.ndarray:
+    """Random TPS∘affine warp as a coarse field (B, field_res, field_res, 2).
+
+    The fused Pallas warp evaluates this field in-kernel (the dense (H, W)
+    grid never exists); the XLA path blows it up with
+    ``upsample_field_aligned``. Requires ``cfg.field_res > 0``.
+    """
     k_tps, k_rot, k_scale, k_trans = jax.random.split(key, 4)
     n = cfg.grid_size * cfg.grid_size
     sites = jnp.broadcast_to(_control_grid(cfg.grid_size), (batch, n, 2))
@@ -77,11 +83,32 @@ def random_warp_grid(key: jax.Array, batch: int, height: int, width: int,
     rot = jnp.stack([jnp.stack([cos, -sin], -1),
                      jnp.stack([sin, cos], -1)], -2)          # (B, 2, 2)
     targets = jnp.einsum("bij,bnj->bni", rot, targets) * scale + trans
+    return tps_grid(sites, targets, cfg.field_res, cfg.field_res,
+                    align_corners=align_corners)
 
+
+def random_warp_grid(key: jax.Array, batch: int, height: int, width: int,
+                     cfg: WarpConfig = WarpConfig(),
+                     align_corners: bool = DEFAULT_ALIGN_CORNERS) -> jnp.ndarray:
+    """Random TPS∘affine backward sampling grid, (B, H, W, 2)."""
     if cfg.field_res and cfg.field_res < min(height, width):
-        coarse = tps_grid(sites, targets, cfg.field_res, cfg.field_res,
-                          align_corners=align_corners)
+        coarse = random_warp_field(key, batch, cfg, align_corners)
         return upsample_field_aligned(coarse, height, width)
+    k_tps, k_rot, k_scale, k_trans = jax.random.split(key, 4)
+    n = cfg.grid_size * cfg.grid_size
+    sites = jnp.broadcast_to(_control_grid(cfg.grid_size), (batch, n, 2))
+    noise = jnp.clip(jax.random.normal(k_tps, (batch, n, 2)), -3.0, 3.0)
+    targets = sites + cfg.tps_scale * noise
+    theta = jax.random.uniform(k_rot, (batch,), minval=-cfg.rotate,
+                               maxval=cfg.rotate)
+    scale = 1.0 + jax.random.uniform(k_scale, (batch, 1, 1), minval=-cfg.scale,
+                                     maxval=cfg.scale)
+    trans = jax.random.uniform(k_trans, (batch, 1, 2), minval=-cfg.translate,
+                               maxval=cfg.translate)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    rot = jnp.stack([jnp.stack([cos, -sin], -1),
+                     jnp.stack([sin, cos], -1)], -2)          # (B, 2, 2)
+    targets = jnp.einsum("bij,bnj->bni", rot, targets) * scale + trans
     return tps_grid(sites, targets, height, width,
                     align_corners=align_corners)
 
@@ -111,11 +138,21 @@ def make_pair(key: jax.Array, image: jnp.ndarray,
     b, _, h, w = image.shape
     ks, kt, kc_s, kc_t = jax.random.split(key, 4)
     out = []
+    use_field = bool(cfg.field_res) and cfg.field_res < min(h, w)
     for kw, kc in ((ks, kc_s), (kt, kc_t)):
-        grid = random_warp_grid(kw, b, h, w, cfg, align_corners)
-        warped = warp_sample(image, grid, padding_mode="border",
-                             align_corners=align_corners,
-                             y_window=warp_y_window(cfg, h))
+        if use_field:
+            # coarse-field path: the fused Pallas warp evaluates the field
+            # in-kernel; the dense (B, H, W, 2) grid never exists.
+            field = random_warp_field(kw, b, cfg, align_corners)
+            warped = warp_sample_field(image, field, h, w,
+                                       padding_mode="border",
+                                       align_corners=align_corners,
+                                       y_window=warp_y_window(cfg, h))
+        else:
+            grid = random_warp_grid(kw, b, h, w, cfg, align_corners)
+            warped = warp_sample(image, grid, padding_mode="border",
+                                 align_corners=align_corners,
+                                 y_window=warp_y_window(cfg, h))
         out.append(color_jitter(kc, warped, cfg.brightness, cfg.contrast,
                                 cfg.saturation))
     return out[0], out[1]

@@ -90,21 +90,28 @@ def warp_sample_field(image: jnp.ndarray, field: jnp.ndarray,
                       y_window: int | None = None) -> jnp.ndarray:
     """Warp from a coarse (B, F, F, 2) field (data path — no gradient).
 
-    On TPU: the fused Pallas kernel evaluates the field in-kernel, so the
-    dense (B, H, W, 2) grid never exists in HBM, the vertical window is
-    per-row (no 8-row-block slack), and W=256 compiles (output chunking
-    moved into the pallas grid). Elsewhere: upsample + ``grid_sample``.
+    Measured routing (v5e, 2026-08-16):
+
+    * ``wo <= 128``: upsample the field in XLA + the dense-grid Pallas warp.
+      XLA's upsample OVERLAPS with the sibling warp's pallas call inside a
+      fused aug step (make_pair 3.5 ms vs 4.6 ms all-pallas at 128²/b128),
+      so all-in-kernel is a net LOSS at one lane tile.
+    * ``wo > 128`` on TPU: the field kernel — the dense grid never exists,
+      output chunking rides the pallas grid, and 256² compiles in ~2 s
+      (round 1: >15 min, dispatcher capped at 128, XLA gather fallback
+      measured ~0.5 s/step at pose256 shapes).
     """
     b, c, h, w = image.shape
     ho, wo = int(out_height), int(out_width)
     span = min(wo, MAX_LANES)
-    if (_on_tpu() and w <= 4 * MAX_LANES and wo % span == 0
-            and ho % _ROWS_PER_PROGRAM == 0):
+    if (_on_tpu() and wo > MAX_LANES and w <= 4 * MAX_LANES
+            and wo % span == 0 and ho % _ROWS_PER_PROGRAM == 0):
         return warp_field_pallas(image, field, ho, wo, padding_mode,
                                  align_corners, y_window=y_window)
     from keypoints_tpu.ops.warp import upsample_field_aligned
     grid = upsample_field_aligned(field, ho, wo)
-    return _grid_sample_jnp(image, grid, padding_mode, align_corners)
+    return warp_sample(image, grid, padding_mode, align_corners,
+                       y_window=y_window)
 
 
 __all__ = ["spatial_softmax", "gaussian_maps", "warp_sample",

@@ -134,6 +134,209 @@ def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
         out_ref[0, :, r, :] = jnp.sum(hx * wv, axis=1).astype(out_ref.dtype)
 
 
+def _lane_upsample_field(field_ref, fx0, ffrac, span):
+    """Lane-upsample the whole (F, F) field to (F, span), once per program.
+
+    Mosaic's within-tile lane gather needs operand and index lane counts to
+    MATCH, so the field plane is zero-padded to ``span`` lanes first; index
+    values stay < F. Returns the value padded to a multiple-of-8 sublane
+    count so it can be stored to a VMEM scratch ref whole."""
+    fld = field_ref[0]                                     # (F, F)
+    f = fld.shape[0]
+    if fld.shape[1] < span:
+        fld = jnp.concatenate(
+            [fld, jnp.zeros((f, span - fld.shape[1]), fld.dtype)], axis=1)
+    idx0 = jnp.broadcast_to(fx0, (f, span))
+    a0 = jnp.take_along_axis(fld, idx0, axis=1)            # (F, span)
+    a1 = jnp.take_along_axis(fld, idx0 + 1, axis=1)
+    up = a0 * (1.0 - ffrac) + a1 * ffrac
+    pad = -f % 8
+    if pad:
+        up = jnp.concatenate([up, jnp.zeros((pad, span), up.dtype)], axis=0)
+    return up
+
+
+def _field_row(scratch_ref, fr0, pfrac):
+    """One output row from the lane-upsampled field scratch: dynamic 2-row
+    ref slice (sublane ds on a REF is supported; on a value it is not) +
+    sublane lerp → (1, span)."""
+    rows = scratch_ref[pl.ds(fr0, 2), :]                   # (2, span)
+    top = jax.lax.slice_in_dim(rows, 0, 1, axis=0)
+    bot = jax.lax.slice_in_dim(rows, 1, 2, axis=0)
+    return top * (1.0 - pfrac) + bot * pfrac
+
+
+def _warp_field_kernel(img_ref, fx_ref, fy_ref, out_ref, ufx_ref, ufy_ref, *,
+                       padding_mode, align_corners, y_window, ho, wo):
+    """Warp directly from the coarse TPS∘affine field — the dense (B,H,W,2)
+    grid never exists (in XLA or HBM): each program bilinearly evaluates the
+    (F, F) field at its own 8 output rows in VMEM (exactly
+    ``ops.warp.upsample_field_aligned`` semantics), then samples the image.
+
+    Grid = (batch, row-blocks, 128-lane output chunks): chunking via the
+    grid (not an unrolled in-kernel loop) keeps the Mosaic unroll count at
+    W=256 the same as one 128-wide program — the round-1 256² compile
+    blow-up (>15 min) came from the extra unrolled chunk×tile selects.
+    Measured: 256² compiles in ~2 s and warps at ~4.2k imgs/s (vs ~0.13
+    imgs-equivalents/s through XLA's element gather).
+    """
+    _, c, h, w = img_ref.shape
+    f = fx_ref.shape[-1]
+    span = out_ref.shape[-1]
+    jchunk = pl.program_id(2)
+    rblock = pl.program_id(1)
+
+    # lane positions of this output chunk in field coordinates
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1) + jchunk * span
+    fpos = jj.astype(jnp.float32) * ((f - 1) / (wo - 1)) if wo > 1 else \
+        jnp.zeros((1, span), jnp.float32)
+    fx0 = jnp.clip(jnp.floor(fpos), 0, f - 2).astype(jnp.int32)
+    ffrac = fpos - fx0.astype(jnp.float32)
+
+    if y_window is not None and y_window < h:
+        win = y_window
+        align = 16 if img_ref.dtype == jnp.bfloat16 else 8
+    else:
+        win = h
+        align = 8
+
+    ufx_ref[...] = _lane_upsample_field(fx_ref, fx0, ffrac, span)
+    ufy_ref[...] = _lane_upsample_field(fy_ref, fx0, ffrac, span)
+
+    rows_gx, rows_gy = [], []
+    for r in range(_ROWS_PER_PROGRAM):
+        gr = rblock * _ROWS_PER_PROGRAM + r
+        pr = gr.astype(jnp.float32) * ((f - 1) / (ho - 1)) if ho > 1 else \
+            jnp.float32(0.0)
+        fr0 = jnp.clip(jnp.floor(pr), 0, f - 2).astype(jnp.int32)
+        pfrac = pr - fr0.astype(jnp.float32)
+        rows_gx.append(_field_row(ufx_ref, fr0, pfrac))
+        rows_gy.append(_field_row(ufy_ref, fr0, pfrac))
+    gx = jnp.concatenate(rows_gx, axis=0)                  # (rows, span)
+    gy = jnp.concatenate(rows_gy, axis=0)
+
+    ix = _unnormalize(gx, w, align_corners)
+    iy = _unnormalize(gy, h, align_corners)
+    if padding_mode == "border":
+        ix = jnp.clip(ix, 0.0, w - 1)
+        iy = jnp.clip(iy, 0.0, h - 1)
+    x0f = jnp.floor(ix)
+    y0f = jnp.floor(iy)
+    fx = ix - x0f
+    fy = iy - y0f
+    x0 = jnp.clip(x0f, 0, w - 1).astype(jnp.int32)
+    x1 = jnp.clip(x0f + 1.0, 0, w - 1).astype(jnp.int32)
+    y0 = jnp.clip(y0f, 0.0, h - 1).astype(jnp.int32)
+    y1 = jnp.clip(y0f + 1.0, 0.0, h - 1).astype(jnp.int32)
+
+    if padding_mode == "zeros":
+        wx0 = jnp.where((x0f >= 0) & (x0f <= w - 1), 1.0 - fx, 0.0)
+        wx1 = jnp.where((x0f + 1 >= 0) & (x0f + 1 <= w - 1), fx, 0.0)
+        wy0 = jnp.where((y0f >= 0) & (y0f <= h - 1), 1.0 - fy, 0.0)
+        wy1 = jnp.where((y0f + 1 >= 0) & (y0f + 1 <= h - 1), fy, 0.0)
+    else:
+        wx0, wx1, wy0, wy1 = 1.0 - fx, fx, 1.0 - fy, fy
+
+    # shared vertical window for the whole 8-row block: building the
+    # windowed image stack ONCE per program beats per-row windows — the
+    # per-row rebuild (dynamic slice + f32 cast of (C·win, W)) measured
+    # slower than the 25% smaller gathers it enabled.
+    if win < h:
+        start = jnp.clip(jnp.min(y0f).astype(jnp.int32), 0, h - win)
+        start = pl.multiple_of((start // align) * align, align)
+    else:
+        start = 0
+    img2 = (img_ref[0, :, pl.ds(start, win), :]
+            .reshape(c * win, w).astype(jnp.float32))
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) + start
+
+    y0e = y0[:, None, :]
+    y1e = y1[:, None, :]
+    wy0e = wy0[:, None, :]
+    wy1e = wy1[:, None, :]
+
+    def gather_tiled(idx_t):
+        acc = None
+        for ji in range(0, w, MAX_LANES):
+            ji_end = min(ji + MAX_LANES, w)
+            local = jnp.clip(idx_t - ji, 0, ji_end - ji - 1)
+            part = jnp.take_along_axis(img2[:, ji:ji_end], local, axis=1)
+            if acc is None:
+                acc = part
+                if w > MAX_LANES:
+                    acc = jnp.where(idx_t < ji_end, part, 0.0)
+            else:
+                acc = jnp.where((idx_t >= ji) & (idx_t < ji_end), part,
+                                acc)
+        return acc
+
+    for r in range(_ROWS_PER_PROGRAM):
+        sl = lambda a: jax.lax.slice_in_dim(a, r, r + 1, axis=0)
+        i0 = jnp.broadcast_to(sl(x0), (c * win, span))
+        i1 = jnp.broadcast_to(sl(x1), (c * win, span))
+        hx = (gather_tiled(i0) * sl(wx0)
+              + gather_tiled(i1) * sl(wx1)).reshape(c, win, span)
+        wv = ((iota_h == sl(y0e)).astype(jnp.float32) * sl(wy0e)
+              + (iota_h == sl(y1e)).astype(jnp.float32) * sl(wy1e))
+        out_ref[0, :, r, :] = jnp.sum(hx * wv, axis=1).astype(out_ref.dtype)
+
+
+def warp_field_pallas(image: jnp.ndarray, field: jnp.ndarray,
+                      out_height: int, out_width: int,
+                      padding_mode: str = "zeros",
+                      align_corners: bool = DEFAULT_ALIGN_CORNERS,
+                      y_window: int | None = None,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Warp from a coarse sampling field: image (B,C,H,W), field (B,F,F,2)
+    → (B,C,Ho,Wo). Equivalent to ``upsample_field_aligned(field, Ho, Wo)``
+    followed by ``grid_sample`` (align_corners=True on the upsample), with
+    the dense grid never materialized. Forward-only.
+    """
+    b, c, h, w = image.shape
+    f = field.shape[1]
+    ho, wo = int(out_height), int(out_width)
+    if padding_mode not in ("zeros", "border"):
+        raise ValueError(f"unsupported padding_mode {padding_mode!r}")
+    if ho % _ROWS_PER_PROGRAM:
+        raise ValueError(f"output height must be a multiple of "
+                         f"{_ROWS_PER_PROGRAM}; got {ho}")
+    span = min(wo, MAX_LANES)
+    if wo % span:
+        raise ValueError(f"output width must be <=128 or a multiple of 128; "
+                         f"got {wo}")
+
+    if y_window is not None:
+        a = 16 if image.dtype == jnp.bfloat16 else 8
+        # shared 8-row-block window (same slack as warp_bilinear_pallas)
+        pad = 2 * _ROWS_PER_PROGRAM + a
+        y_window = min(h, max(a, -(-(int(y_window) + pad) // a) * a))
+    kern = functools.partial(_warp_field_kernel, padding_mode=padding_mode,
+                             align_corners=align_corners, y_window=y_window,
+                             ho=ho, wo=wo)
+    field = jax.lax.stop_gradient(field)
+    fspec = pl.BlockSpec((1, f, f), lambda bi, i, j: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, c, ho, wo), image.dtype),
+        grid=(b, ho // _ROWS_PER_PROGRAM, wo // span),
+        in_specs=[
+            pl.BlockSpec((1, c, h, w), lambda bi, i, j: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            fspec, fspec,
+        ],
+        out_specs=pl.BlockSpec((1, c, _ROWS_PER_PROGRAM, span),
+                               lambda bi, i, j: (bi, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((f + (-f % 8), span), jnp.float32),
+            pltpu.VMEM((f + (-f % 8), span), jnp.float32),
+        ],
+        interpret=interpret,
+    )(image, field[..., 0], field[..., 1])
+    return jax.lax.stop_gradient(out)
+
+
 def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
                          padding_mode: str = "zeros",
                          align_corners: bool = DEFAULT_ALIGN_CORNERS,
