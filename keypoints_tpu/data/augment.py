@@ -27,7 +27,8 @@ from keypoints_tpu.coords import DEFAULT_ALIGN_CORNERS, axis_coords
 # forward-only kernels are safe here.
 from keypoints_tpu.kernels import warp_sample, warp_sample_field
 from keypoints_tpu.ops.color import color_jitter
-from keypoints_tpu.ops.warp import tps_grid, upsample_field_aligned
+from keypoints_tpu.ops.warp import (tps_grid, tps_grid_fixed,
+                                    upsample_field_aligned)
 
 
 class WarpConfig(NamedTuple):
@@ -83,8 +84,11 @@ def random_warp_field(key: jax.Array, batch: int,
     rot = jnp.stack([jnp.stack([cos, -sin], -1),
                      jnp.stack([sin, cos], -1)], -2)          # (B, 2, 2)
     targets = jnp.einsum("bij,bnj->bni", rot, targets) * scale + trans
-    return tps_grid(sites, targets, cfg.field_res, cfg.field_res,
-                    align_corners=align_corners)
+    # fixed-sites TPS: the system inverse and radial-basis matrix are
+    # compile-time constants (sites never vary) — no per-step LU solve.
+    return tps_grid_fixed(_control_grid(cfg.grid_size), targets,
+                          cfg.field_res, cfg.field_res,
+                          align_corners=align_corners)
 
 
 def random_warp_grid(key: jax.Array, batch: int, height: int, width: int,

