@@ -38,29 +38,31 @@ def run_trace(logdir):
     jax.profiler.stop_trace()
 
 
-def parse(logdir):
-    paths = glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True)
+def parse(logdir, steps=20, top_n=25):
+    """Sum op durations on the device 'XLA Ops' track only."""
+    paths = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
     assert paths, f"no trace under {logdir}"
-    with gzip.open(sorted(paths)[-1], "rt") as f:
+    with gzip.open(paths[-1], "rt") as f:
         data = json.load(f)
-    per_op = defaultdict(float)
+    ev = data["traceEvents"]
+    ops_tid = None
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "thread_name" \
+                and e["args"].get("name") == "XLA Ops":
+            ops_tid = (e["pid"], e["tid"])
+    per = defaultdict(float)
+    args_of = {}
     total = 0.0
-    for ev in data.get("traceEvents", []):
-        if ev.get("ph") != "X" or "dur" not in ev:
+    for e in ev:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) != ops_tid:
             continue
-        # device lanes only: TensorFlow Op events carry 'tf_op' or occur on
-        # TPU tracks; use pid name heuristics via args
-        args = ev.get("args") or {}
-        name = ev.get("name", "")
-        if not args and "." not in name and "%" not in name:
-            continue
-        cat = name.split(".")[0].split("(")[0][:60]
-        per_op[cat] += ev["dur"]
-        total += ev["dur"]
-    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:30]
-    print(f"total device-op time over 20 steps: {total/1e3:.1f} ms")
-    for name, dur in top:
-        print(f"{dur/20/1e3:9.3f} ms/step  {name}")
+        per[e["name"]] += e["dur"]
+        total += e["dur"]
+        args_of.setdefault(e["name"], e.get("args") or {})
+    print(f"XLA Ops total: {total/steps/1e3:.2f} ms/step")
+    for n, d in sorted(per.items(), key=lambda kv: -kv[1])[:top_n]:
+        ln = (args_of[n].get("long_name") or "")[:110]
+        print(f"{d/steps/1e3:8.3f} ms  {n[:36]:36s} {ln}")
 
 
 if __name__ == "__main__":

@@ -40,12 +40,14 @@ def time_step(step, state, batch, rng, iters):
 
 def bench_config(name, batch, iters):
     from keypoints_tpu.configs import get_config
+    from keypoints_tpu.train import make_loss
     from keypoints_tpu.training import build_model, init_state, make_train_step
 
     cfg = get_config(name).override(**{"train.batch_size": batch})
     model = build_model(cfg)
     state = init_state(cfg, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(cfg, model), donate_argnums=(0,))
+    step = jax.jit(make_train_step(cfg, model, loss=make_loss(cfg)),
+                   donate_argnums=(0,))
     s, c = cfg.data.image_size, cfg.data.channels
     imgs = jnp.asarray(np.random.RandomState(0).rand(batch, c, s, s),
                        jnp.float32)
@@ -99,7 +101,10 @@ def main():
         "platform": platform,
         "device": str(jax.devices()[0]),
         "train": [bench_config("celeba128", batch, iters),
-                  bench_config("pong64", batch, iters)],
+                  bench_config("pong64", batch, iters),
+                  # pose256 at its shipped batch (memory: 256² activations)
+                  bench_config("pose256", 4 if platform == "cpu" else 16,
+                               iters)],
         "extract": bench_extract(2 * batch, iters),
         "parity": parity_check(),
     }

@@ -90,8 +90,10 @@ def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
     else:
         win = h
         start = 0
+    # f32 gather only — see _warp_field_kernel's data_t note
+    data_t = jnp.float32
     img2 = (img_ref[0, :, pl.ds(start, win), :]
-            .reshape(c * win, w).astype(jnp.float32))
+            .reshape(c * win, w).astype(data_t))
 
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) + start
     # (rows, 1, Wo) expansions done once: the per-row slice below must be a
@@ -99,8 +101,10 @@ def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
     # rejects).
     y0e = y0[:, None, :]
     y1e = y1[:, None, :]
-    wy0e = wy0[:, None, :]
-    wy1e = wy1[:, None, :]
+    wy0e = wy0[:, None, :].astype(data_t)
+    wy1e = wy1[:, None, :].astype(data_t)
+    wx0 = wx0.astype(data_t)
+    wx1 = wx1.astype(data_t)
 
     def gather_tiled(idx_t):
         """(C·win, chunk) gather honoring the one-lane-tile source limit."""
@@ -112,7 +116,8 @@ def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
             if acc is None:
                 acc = part
                 if w > MAX_LANES:
-                    acc = jnp.where(idx_t < ji_end, part, 0.0)
+                    acc = jnp.where(idx_t < ji_end, part,
+                                    jnp.zeros_like(part))
             else:
                 acc = jnp.where((idx_t >= ji) & (idx_t < ji_end), part, acc)
         return acc
@@ -129,8 +134,8 @@ def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
             hx = chunk if hx is None else jnp.concatenate([hx, chunk], axis=1)
         hx = hx.reshape(c, win, wo)
         sl = lambda a: jax.lax.slice_in_dim(a, r, r + 1, axis=0)
-        wv = ((iota_h == sl(y0e)).astype(jnp.float32) * sl(wy0e)
-              + (iota_h == sl(y1e)).astype(jnp.float32) * sl(wy1e))
+        wv = ((iota_h == sl(y0e)).astype(data_t) * sl(wy0e)
+              + (iota_h == sl(y1e)).astype(data_t) * sl(wy1e))
         out_ref[0, :, r, :] = jnp.sum(hx * wv, axis=1).astype(out_ref.dtype)
 
 
@@ -246,14 +251,21 @@ def _warp_field_kernel(img_ref, fx_ref, fy_ref, out_ref, ufx_ref, ufy_ref, *,
         start = pl.multiple_of((start // align) * align, align)
     else:
         start = 0
+    # gather in f32 ALWAYS: Mosaic's dynamic_gather requires index/data
+    # bitwidths to match and take_along_axis pins indices to i32, so bf16
+    # gathers cannot compile on this version; bf16 images still halve the
+    # HBM read/write at the kernel boundary (cast to f32 in VMEM).
+    data_t = jnp.float32
     img2 = (img_ref[0, :, pl.ds(start, win), :]
-            .reshape(c * win, w).astype(jnp.float32))
+            .reshape(c * win, w).astype(data_t))
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) + start
 
     y0e = y0[:, None, :]
     y1e = y1[:, None, :]
-    wy0e = wy0[:, None, :]
-    wy1e = wy1[:, None, :]
+    wy0e = wy0[:, None, :].astype(data_t)
+    wy1e = wy1[:, None, :].astype(data_t)
+    wx0 = wx0.astype(data_t)
+    wx1 = wx1.astype(data_t)
 
     def gather_tiled(idx_t):
         acc = None
@@ -264,7 +276,8 @@ def _warp_field_kernel(img_ref, fx_ref, fy_ref, out_ref, ufx_ref, ufy_ref, *,
             if acc is None:
                 acc = part
                 if w > MAX_LANES:
-                    acc = jnp.where(idx_t < ji_end, part, 0.0)
+                    acc = jnp.where(idx_t < ji_end, part,
+                                    jnp.zeros_like(part))
             else:
                 acc = jnp.where((idx_t >= ji) & (idx_t < ji_end), part,
                                 acc)
@@ -276,8 +289,8 @@ def _warp_field_kernel(img_ref, fx_ref, fy_ref, out_ref, ufx_ref, ufy_ref, *,
         i1 = jnp.broadcast_to(sl(x1), (c * win, span))
         hx = (gather_tiled(i0) * sl(wx0)
               + gather_tiled(i1) * sl(wx1)).reshape(c, win, span)
-        wv = ((iota_h == sl(y0e)).astype(jnp.float32) * sl(wy0e)
-              + (iota_h == sl(y1e)).astype(jnp.float32) * sl(wy1e))
+        wv = ((iota_h == sl(y0e)).astype(data_t) * sl(wy0e)
+              + (iota_h == sl(y1e)).astype(data_t) * sl(wy1e))
         out_ref[0, :, r, :] = jnp.sum(hx * wv, axis=1).astype(out_ref.dtype)
 
 

@@ -108,9 +108,16 @@ def make_train_step(cfg: Config, model: nn.Module, tx=None,
     warp_mode = cfg.data.pair_mode == "warp"
     wcfg = warp_config(cfg)
 
+    bf16_aug = cfg.train.compute_dtype == "bfloat16"
+
     def step(state: TrainState, batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         if warp_mode:
+            if bf16_aug:
+                # the model casts inputs to bf16 anyway; augmenting in bf16
+                # halves the Pallas warp's gather/reduce traffic (positions
+                # stay f32 inside the kernel — only pixel DATA narrows)
+                batch = batch.astype(jnp.bfloat16)
             src, tgt = make_pair(rng, batch, wcfg)
         else:
             src, tgt = batch

@@ -188,6 +188,20 @@ def test_warp_field_windowed_and_wide():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def test_warp_bf16_image_close_to_f32():
+    """bf16 pixel data through the warp kernel: positions stay f32, values
+    agree with the f32 path to bf16 resolution (aug-only precision)."""
+    from keypoints_tpu.data.augment import WarpConfig, random_warp_grid
+    img = jnp.asarray(np.random.RandomState(9).rand(2, 3, 64, 64), jnp.float32)
+    g = random_warp_grid(jax.random.PRNGKey(9), 2, 64, 64, WarpConfig())
+    f32 = warp_bilinear_pallas(img, g, "border", True, interpret=True)
+    b16 = warp_bilinear_pallas(img.astype(jnp.bfloat16), g, "border", True,
+                               interpret=True)
+    assert b16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(b16, np.float32), np.asarray(f32),
+                               atol=2e-2)
+
+
 def test_warp_sample_field_dispatch_cpu_oracle():
     from keypoints_tpu.data.augment import WarpConfig, random_warp_field
     from keypoints_tpu.kernels import warp_sample_field
