@@ -92,14 +92,30 @@ class DeviceDataset:
         return self.frames.shape[0]
 
     def sample(self, key: jax.Array, batch: int) -> jnp.ndarray:
-        idx = jax.random.randint(key, (batch,), 0, self.frames.shape[0])
-        return jnp.take(self.frames, idx, axis=0).astype(jnp.float32) / 255.0
+        return sample_frames(self.frames, key, batch)
 
     def sample_pair(self, key: jax.Array, batch: int):
         assert self.pairs is not None, "store has no temporal-pair index"
-        row = jax.random.randint(key, (batch,), 0, self.pairs.shape[0])
-        ij = jnp.take(self.pairs, row, axis=0)                    # (B, 2)
-        a = jnp.take(self.frames, ij[:, 0], axis=0)
-        b = jnp.take(self.frames, ij[:, 1], axis=0)
-        return (a.astype(jnp.float32) / 255.0,
-                b.astype(jnp.float32) / 255.0)
+        return sample_pair_frames(self.frames, self.pairs, key, batch)
+
+
+# Pure functions taking the frame array as an ARGUMENT: jit a wrapper that
+# passes ``ds.frames`` at call time, never one that CLOSES over it — a
+# closed-over device array becomes a jaxpr constant that is serialized into
+# the compile payload (a 393 MB pose store overflowed the remote-compile
+# tunnel with HTTP 413 before this split).
+
+def sample_frames(frames: jnp.ndarray, key: jax.Array,
+                  batch: int) -> jnp.ndarray:
+    idx = jax.random.randint(key, (batch,), 0, frames.shape[0])
+    return jnp.take(frames, idx, axis=0).astype(jnp.float32) / 255.0
+
+
+def sample_pair_frames(frames: jnp.ndarray, pairs: jnp.ndarray,
+                       key: jax.Array, batch: int):
+    row = jax.random.randint(key, (batch,), 0, pairs.shape[0])
+    ij = jnp.take(pairs, row, axis=0)                             # (B, 2)
+    a = jnp.take(frames, ij[:, 0], axis=0)
+    b = jnp.take(frames, ij[:, 1], axis=0)
+    return (a.astype(jnp.float32) / 255.0,
+            b.astype(jnp.float32) / 255.0)

@@ -48,6 +48,34 @@ def evaluate(cfg: Config, params, src, tgt,
     return out
 
 
+def synthetic_eval_batch(cfg: Config, batch: int, key: jax.Array):
+    """→ (src, tgt, true_positions) — the preset-appropriate synthetic set
+    with ground truth, so every config family has a locking metric:
+
+    * ``pose``        — articulated stick figure, 16 joint positions;
+    * ``*pong*``/``atari`` — scripted Pong, (ball, paddle, paddle);
+    * everything else — colored moving dots at the model's keypoint count.
+    """
+    d = cfg.data
+    if d.dataset == "pose":
+        from keypoints_tpu.data.pose import (_render_episode,
+                                             generate_episode,
+                                             joint_positions)
+        rng = np.random.RandomState(int(jax.random.randint(key, (), 0, 1 << 30)))
+        segs = generate_episode(batch, rng)
+        frames = jnp.asarray(_render_episode(segs, d.image_size))
+        return frames, frames, joint_positions(segs)
+    if d.dataset in ("synthetic_pong", "atari"):
+        from keypoints_tpu.data.synthetic import scripted_pong_pair
+        f1, f2, state = scripted_pong_pair(key, batch, d.image_size)
+        return f1, f2, np.asarray(state)
+    from keypoints_tpu.data.synthetic import moving_dots_pair
+    src, tgt, pos = moving_dots_pair(key, batch, d.image_size,
+                                     num_dots=cfg.model.num_keypoints,
+                                     channels=d.channels, max_shift=0.8)
+    return src, tgt, np.asarray(pos)
+
+
 def coordinate_parity(cfg: Config, params, golden_fn: Callable,
                       images: np.ndarray) -> float:
     """Max keypoint L2 vs a golden model on a fixed set — the <1e-3 bar [B:5]."""
@@ -99,14 +127,9 @@ def _cli(argv=None):
     print(f"restored step {step}")
 
     # evaluate on the preset's synthetic stand-in (ground truth available)
-    from keypoints_tpu.data.synthetic import moving_dots_pair
-    src, tgt, pos = moving_dots_pair(jax.random.PRNGKey(7), args.batch,
-                                     cfg.data.image_size,
-                                     num_dots=cfg.model.num_keypoints,
-                                     channels=cfg.data.channels,
-                                     max_shift=0.8)
-    metrics = evaluate(cfg, state.params, src, tgt,
-                       true_positions=np.asarray(pos))
+    src, tgt, pos = synthetic_eval_batch(cfg, args.batch,
+                                         jax.random.PRNGKey(7))
+    metrics = evaluate(cfg, state.params, src, tgt, true_positions=pos)
     for k, v in metrics.items():
         print(f"{k}: {v:.5f}")
 

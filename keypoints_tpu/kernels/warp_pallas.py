@@ -48,15 +48,34 @@ def _unnormalize(coord, size, align_corners):
 _ROWS_PER_PROGRAM = 8  # out-block second-to-last dim must be divisible by 8
 
 
+def _unpack_even(word_f32):
+    """Packed (bf16 row2r | bf16 row2r+1 << 16) f32 word → row 2r as f32."""
+    bits = jax.lax.bitcast_convert_type(word_f32, jnp.int32)
+    return jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+
+
+def _unpack_odd(word_f32):
+    bits = jax.lax.bitcast_convert_type(word_f32, jnp.int32)
+    mask = jnp.int32(-65536)                               # 0xFFFF0000
+    return jax.lax.bitcast_convert_type(bits & mask, jnp.float32)
+
+
 def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
-                 align_corners, y_window):
+                 align_corners, y_window, packed=False):
     """One program per (batch, 8-output-row block): the image block's
     index_map is constant across the row dimension, so Mosaic keeps it
     resident in VMEM while only the small grid/out row blocks stream.
 
     All index math is vectorized over the whole (rows, Wo) block up front —
-    per-row work is only the gather + windowed mask-reduce."""
-    _, c, h, w = img_ref.shape
+    per-row work is only the gather + windowed mask-reduce.
+
+    ``packed``: the image ref holds f32 words each packing TWO bf16 pixels
+    from vertically adjacent rows (rows 2r and 2r+1) — the lane gather then
+    touches HALF the sublane rows for the same outputs (Mosaic cannot
+    gather bf16 directly: index/data bitwidths must match), and the two
+    pixels are recovered with shift/mask bitcasts before the x-interp."""
+    _, c, hp, w = img_ref.shape
+    h = 2 * hp if packed else hp
     _, rows, wo = gx_ref.shape
 
     ix = _unnormalize(gx_ref[0], w, align_corners)        # (rows, Wo)
@@ -84,18 +103,30 @@ def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
     # vertical window shared by the whole 8-row block
     if y_window is not None and y_window < h:
         win = y_window
-        align = 16 if img_ref.dtype == jnp.bfloat16 else 8
+        align = 16 if (packed or img_ref.dtype == jnp.bfloat16) else 8
         start = jnp.clip(jnp.min(y0f).astype(jnp.int32), 0, h - win)
         start = pl.multiple_of((start // align) * align, align)
     else:
         win = h
         start = 0
-    # f32 gather only — see _warp_field_kernel's data_t note
+    # f32 gather only — see the module docstring's Mosaic bitwidth note
     data_t = jnp.float32
-    img2 = (img_ref[0, :, pl.ds(start, win), :]
-            .reshape(c * win, w).astype(data_t))
+    if packed:
+        win_p = win // 2
+        start_p = pl.multiple_of(start // 2, 8)
+        img2 = (img_ref[0, :, pl.ds(start_p, win_p), :]
+                .reshape(c * win_p, w))
+        gather_rows = c * win_p
+        # row index each packed sublane's EVEN pixel came from
+        iota_h = (2 * jax.lax.broadcasted_iota(jnp.int32, (1, win_p, 1), 1)
+                  + start)
+    else:
+        win_p = win
+        img2 = (img_ref[0, :, pl.ds(start, win), :]
+                .reshape(c * win, w).astype(data_t))
+        gather_rows = c * win
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) + start
 
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) + start
     # (rows, 1, Wo) expansions done once: the per-row slice below must be a
     # plain lax.slice (mixed None/slice getitem lowers to a gather Mosaic
     # rejects).
@@ -107,7 +138,7 @@ def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
     wx1 = wx1.astype(data_t)
 
     def gather_tiled(idx_t):
-        """(C·win, chunk) gather honoring the one-lane-tile source limit."""
+        """(gather_rows, chunk) gather honoring the one-lane-tile limit."""
         acc = None
         for ji in range(0, w, MAX_LANES):
             ji_end = min(ji + MAX_LANES, w)
@@ -123,20 +154,34 @@ def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
         return acc
 
     for r in range(rows):
-        hx = None
+        g0 = g1 = None
         for jo in range(0, wo, MAX_LANES):
             jo_end = min(jo + MAX_LANES, wo)
             span = jo_end - jo
-            i0 = jnp.broadcast_to(x0[r:r + 1, jo:jo_end], (c * win, span))
-            i1 = jnp.broadcast_to(x1[r:r + 1, jo:jo_end], (c * win, span))
-            chunk = (gather_tiled(i0) * wx0[r:r + 1, jo:jo_end]
-                     + gather_tiled(i1) * wx1[r:r + 1, jo:jo_end])
-            hx = chunk if hx is None else jnp.concatenate([hx, chunk], axis=1)
-        hx = hx.reshape(c, win, wo)
+            i0 = jnp.broadcast_to(x0[r:r + 1, jo:jo_end], (gather_rows, span))
+            i1 = jnp.broadcast_to(x1[r:r + 1, jo:jo_end], (gather_rows, span))
+            c0, c1 = gather_tiled(i0), gather_tiled(i1)
+            g0 = c0 if g0 is None else jnp.concatenate([g0, c0], axis=1)
+            g1 = c1 if g1 is None else jnp.concatenate([g1, c1], axis=1)
         sl = lambda a: jax.lax.slice_in_dim(a, r, r + 1, axis=0)
-        wv = ((iota_h == sl(y0e)).astype(data_t) * sl(wy0e)
-              + (iota_h == sl(y1e)).astype(data_t) * sl(wy1e))
-        out_ref[0, :, r, :] = jnp.sum(hx * wv, axis=1).astype(out_ref.dtype)
+        if packed:
+            # x-interp each packed half, then a paired mask-reduce: even
+            # pixels carry source row iota_h, odd pixels iota_h + 1
+            hx_e = (_unpack_even(g0) * sl(wx0)
+                    + _unpack_even(g1) * sl(wx1)).reshape(c, win_p, wo)
+            hx_o = (_unpack_odd(g0) * sl(wx0)
+                    + _unpack_odd(g1) * sl(wx1)).reshape(c, win_p, wo)
+            wv_e = ((iota_h == sl(y0e)).astype(data_t) * sl(wy0e)
+                    + (iota_h == sl(y1e)).astype(data_t) * sl(wy1e))
+            wv_o = ((iota_h + 1 == sl(y0e)).astype(data_t) * sl(wy0e)
+                    + (iota_h + 1 == sl(y1e)).astype(data_t) * sl(wy1e))
+            out = jnp.sum(hx_e * wv_e + hx_o * wv_o, axis=1)
+        else:
+            hx = (g0 * sl(wx0) + g1 * sl(wx1)).reshape(c, win_p, wo)
+            wv = ((iota_h == sl(y0e)).astype(data_t) * sl(wy0e)
+                  + (iota_h == sl(y1e)).astype(data_t) * sl(wy1e))
+            out = jnp.sum(hx * wv, axis=1)
+        out_ref[0, :, r, :] = out.astype(out_ref.dtype)
 
 
 def _lane_upsample_field(field_ref, fx0, ffrac, span):
@@ -378,15 +423,31 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
         raise ValueError(f"output height must be a multiple of "
                          f"{_ROWS_PER_PROGRAM}; got {ho}")
 
+    # bf16 images go through the ROW-PAIR PACKED path: two bf16 pixels from
+    # vertically adjacent rows ride one f32 word, so the lane gather (the
+    # kernel's dominant cost) touches half the sublane rows. The pack is an
+    # XLA-side reshape+bitcast (fused, no copy beyond one transpose).
+    packed = image.dtype == jnp.bfloat16 and h % 2 == 0
     if y_window is not None:
         # The window is shared by an 8-output-row block, so add the block's
         # own vertical span (rows map to ≈(1+scale) source rows each; 2x
         # margin) plus the tile-alignment slack, then round up.
-        a = 16 if image.dtype == jnp.bfloat16 else 8
+        a = 16 if (packed or image.dtype == jnp.bfloat16) else 8
         pad = 2 * _ROWS_PER_PROGRAM + a
         y_window = min(h, max(a, -(-(int(y_window) + pad) // a) * a))
+        if packed and y_window % 2:
+            y_window += 1
+    if packed:
+        img_in = jax.lax.bitcast_convert_type(
+            image.reshape(b, c, h // 2, 2, w).transpose(0, 1, 2, 4, 3),
+            jnp.float32)                                   # (B, C, H/2, W)
+        img_block = (1, c, h // 2, w)
+    else:
+        img_in = image
+        img_block = (1, c, h, w)
     kern = functools.partial(_warp_kernel, padding_mode=padding_mode,
-                             align_corners=align_corners, y_window=y_window)
+                             align_corners=align_corners, y_window=y_window,
+                             packed=packed)
     # The grid is passed as separate x / y planes: a trailing dim of 2 gets a
     # T(2,128) tiled layout that forces a 2x full-grid relayout copy in front
     # of the custom call (measured 1.7 ms each at 128²/b128).
@@ -399,7 +460,7 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, c, ho, wo), image.dtype),
         grid=(b, ho // _ROWS_PER_PROGRAM),
         in_specs=[
-            pl.BlockSpec((1, c, h, w), lambda bi, i: (bi, 0, 0, 0),
+            pl.BlockSpec(img_block, lambda bi, i: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             row_spec, row_spec,
         ],
@@ -407,5 +468,5 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
                                lambda bi, i: (bi, 0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(image, grid[..., 0], grid[..., 1])
+    )(img_in, grid[..., 0], grid[..., 1])
     return jax.lax.stop_gradient(out)

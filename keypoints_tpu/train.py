@@ -81,10 +81,18 @@ def make_batch_iterator(cfg: Config, start_step: int = 0) -> Iterator:
     store = FrameStore(store_path)
     from keypoints_tpu.data.device import DeviceDataset, fits_in_memory
     if fits_in_memory(store):
+        from keypoints_tpu.data.device import (sample_frames,
+                                               sample_pair_frames)
         ds = DeviceDataset(store)
-        sample = jax.jit(
-            (lambda k: ds.sample_pair(k, b)) if d.pair_mode == "temporal"
-            else (lambda k: ds.sample(k, b)))
+        # frames/pairs are ARGUMENTS of the jitted sampler, not closures: a
+        # closed-over device array is a jaxpr constant and gets serialized
+        # into the (remote) compile payload — see data/device.py.
+        if d.pair_mode == "temporal":
+            fn = jax.jit(lambda fr, pr, k: sample_pair_frames(fr, pr, k, b))
+            sample = lambda k: fn(ds.frames, ds.pairs, k)
+        else:
+            fn = jax.jit(lambda fr, k: sample_frames(fr, k, b))
+            sample = lambda k: fn(ds.frames, k)
 
         def gen():
             base = jax.random.PRNGKey(cfg.train.seed + 3)

@@ -52,6 +52,24 @@ def test_viz_shapes():
     assert sbs.shape == (4, 16, 32, 3)
 
 
+def test_synthetic_eval_batch_per_dataset():
+    from keypoints_tpu.eval import synthetic_eval_batch
+    key = jax.random.PRNGKey(3)
+    # pose → 16 ground-truth joints
+    cfg = get_config("pose256").override(**{"data.image_size": 32})
+    src, tgt, pos = synthetic_eval_batch(cfg, 4, key)
+    assert src.shape == (4, 3, 32, 32) and pos.shape == (4, 16, 2)
+    # pong-family → (ball, paddle, paddle)
+    cfg = get_config("transporter_atari").override(**{"data.image_size": 32})
+    src, tgt, pos = synthetic_eval_batch(cfg, 4, key)
+    assert src.shape == (4, 1, 32, 32) and pos.shape == (4, 3, 2)
+    # default → one dot per keypoint
+    cfg = get_config("pong64").override(**{"data.image_size": 32,
+                                           "data.dataset": "synthetic_dots"})
+    src, tgt, pos = synthetic_eval_batch(cfg, 4, key)
+    assert pos.shape == (4, cfg.model.num_keypoints, 2)
+
+
 def test_evaluate_metrics():
     cfg = get_config("pong64").override(**{
         "model.encoder_filters": (8, 16),
