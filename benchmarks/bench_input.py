@@ -82,18 +82,21 @@ def main():
     print(f"device budget: {budget/2**30:.2f} GiB; "
           f"fits: {fits_in_memory(store)}", flush=True)
     if fits_in_memory(store):
+        from keypoints_tpu.data.device import sample_frames
         t0 = time.perf_counter()
         ds = DeviceDataset(store)
         jax.block_until_ready(ds.frames)
         np.asarray(ds.frames[0, 0, 0, :1])
         print(f"HBM upload: {time.perf_counter()-t0:.1f} s", flush=True)
-        sample = jax.jit(lambda k: ds.sample(k, args.batch))
+        # frames passed as an ARGUMENT — a closure would serialize 6 GB
+        # into the remote-compile payload (see data/device.py)
+        fn = jax.jit(lambda fr, k: sample_frames(fr, k, args.batch))
         k = jax.random.PRNGKey(0)
-        np.asarray(sample(k))[0, 0, 0, 0]
+        np.asarray(fn(ds.frames, k))[0, 0, 0, 0]
         n = 100
         t0 = time.perf_counter()
         for i in range(n):
-            out = sample(jax.random.fold_in(k, i))
+            out = fn(ds.frames, jax.random.fold_in(k, i))
         np.asarray(out)[0, 0, 0, 0]
         dt = time.perf_counter() - t0
         print(f"device-resident sample: {n*args.batch/dt:8.0f} frames/s",

@@ -56,6 +56,32 @@ def up_fused(x, w):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+_A0 = jnp.asarray([[1., 0., 0.], [0., 1., 1.]])   # output parity 0: taps -1, 0
+_A1 = jnp.asarray([[1., 1., 0.], [0., 0., 1.]])   # output parity 1: taps 0, +1
+
+
+def up_parity(x, w):
+    """Same math as up_fused, decomposed into FOUR stride-1 2x2 convs (one
+    per 2x2 output parity) + interleave — no lhs_dilation, so the backward
+    has no activation reverses."""
+    w = w.astype(x.dtype)
+    outs = []
+    for ar, pr in ((_A0, (1, 0)), (_A1, (0, 1))):
+        row = []
+        for ac, pc in ((_A0, (1, 0)), (_A1, (0, 1))):
+            k = jnp.einsum("ui,vj,ijcd->uvcd", ar.astype(x.dtype),
+                           ac.astype(x.dtype), w)
+            row.append(jax.lax.conv_general_dilated(
+                x, k, (1, 1), (pr, pc),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        outs.append(row)
+    b, h, ww, co = outs[0][0].shape
+    inner0 = jnp.stack(outs[0], axis=3)          # (B, H, W, 2, C) parity r=0
+    inner1 = jnp.stack(outs[1], axis=3)
+    arr = jnp.stack([inner0, inner1], axis=2)    # (B, H, 2, W, 2, C)
+    return arr.reshape(b, 2 * h, 2 * ww, co)
+
+
 def bench(fn, x, w, iters=40):
     def many(args, n):
         x0, w0 = args
@@ -93,7 +119,7 @@ def main():
         print(f"shape {x.shape}: |A-B|={np.abs(ya-yb).max():.2e} "
               f"|A-C|={np.abs(ya-yc).max():.2e}", flush=True)
         for name, fn in [("repeat", up_repeat), ("broadcast", up_broadcast),
-                         ("fused", up_fused)]:
+                         ("fused", up_fused), ("parity4", up_parity)]:
             dt = bench(fn, x, w)
             print(f"  {name:10s} {dt*1e3:8.3f} ms fwd+bwd", flush=True)
 

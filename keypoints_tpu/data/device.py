@@ -39,20 +39,39 @@ DEFAULT_BUDGET_BYTES = 4 << 30
 HEADROOM_BYTES = 3 << 30
 
 
+# Known HBM sizes by device kind, used when the backend reports no memory
+# stats (the axon tunnel's plugin returns None). Live stats take priority.
+_HBM_BY_KIND = (
+    ("TPU v5 lite", 16 << 30),   # v5e
+    ("TPU v5e", 16 << 30),
+    ("TPU v5p", 95 << 30),
+    ("TPU v5", 16 << 30),
+    ("TPU v6 lite", 32 << 30),   # v6e
+    ("TPU v4", 32 << 30),
+    ("TPU v3", 16 << 30),
+)
+
+
 def device_memory_budget(headroom_bytes: int = HEADROOM_BYTES) -> int:
     """Bytes of HBM a resident dataset may use: free memory minus headroom.
 
     Uses the backend's live ``memory_stats`` when available (TPU plugins
-    report ``bytes_limit``/``bytes_in_use``); otherwise the conservative
-    ``DEFAULT_BUDGET_BYTES`` fallback.
+    report ``bytes_limit``/``bytes_in_use``); falls back to the device
+    kind's known HBM size (minus headroom), and finally to the
+    conservative ``DEFAULT_BUDGET_BYTES`` on unknown backends (CPU/GPU).
     """
     try:
-        stats = jax.devices()[0].memory_stats() or {}
+        dev = jax.devices()[0]
+        stats = dev.memory_stats() or {}
         limit = stats.get("bytes_limit") or stats.get(
             "bytes_reservable_limit")
         if limit:
             free = int(limit) - int(stats.get("bytes_in_use", 0))
             return max(0, free - headroom_bytes)
+        kind = getattr(dev, "device_kind", "") or ""
+        for prefix, hbm in _HBM_BY_KIND:
+            if kind.startswith(prefix):
+                return max(0, hbm - headroom_bytes)
     except Exception:
         pass
     return DEFAULT_BUDGET_BYTES
