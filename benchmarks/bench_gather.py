@@ -27,7 +27,9 @@ def loop_time(fn, frames, iters=50):
             idx = jax.random.randint(jax.random.fold_in(
                 jax.random.PRNGKey(0), i), (128,), 0, fr.shape[0])
             out = fn(fr, idx)
-            return acc + out.ravel()[0].astype(jnp.float32)
+            # consume EVERY byte — slicing one element lets XLA gather
+            # just that element and DCE the rest
+            return acc + jnp.sum(out.astype(jnp.float32))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     f1 = jax.jit(functools.partial(many, n=iters))
@@ -58,8 +60,12 @@ def slice_scan(fr, idx):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8192)
+    args = ap.parse_args()
     print(jax.devices(), flush=True)
-    n, c, s = 8192, 3, 128                  # 384 MB store (same row size)
+    n, c, s = args.n, 3, 128
     rs = np.random.RandomState(0)
     fr_u8 = jnp.asarray(rs.randint(0, 256, (n, c, s, s), np.uint8))
     fr_i32 = jnp.asarray(

@@ -20,6 +20,7 @@ import time
 from typing import Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from keypoints_tpu import checkpoint as ckpt
@@ -44,29 +45,20 @@ def make_batch_iterator(cfg: Config, start_step: int = 0) -> Iterator:
     stream — exact-resume determinism (SURVEY §5 checkpoint/resume) without
     carrying iterator state in the checkpoint.
     """
-    import itertools
     d, b = cfg.data, cfg.train.batch_size
     warp_mode = d.pair_mode == "warp"
     if d.dataset == "synthetic_dots":
-        def gen():
-            base = jax.random.PRNGKey(cfg.train.seed + 1)
-            # warp mode synthesizes its own (src, tgt) pair inside the train
-            # step from a raw batch; temporal mode wants the generated pair.
-            mk = jax.jit(lambda k: moving_dots_pair(
-                k, b, d.image_size, num_dots=cfg.model.num_keypoints,
-                channels=d.channels, max_shift=0.8)[:2])
-            for i in itertools.count(start_step):
-                pair = mk(jax.random.fold_in(base, i))
-                yield pair[0] if warp_mode else pair
-        return gen()
+        def mk(k):
+            pair = moving_dots_pair(k, b, d.image_size,
+                                    num_dots=cfg.model.num_keypoints,
+                                    channels=d.channels, max_shift=0.8)[:2]
+            return pair[0] if warp_mode else pair
+        return SyntheticBatches(mk, cfg.train.seed, start_step)
     if d.dataset == "synthetic_pong":
-        def gen():
-            base = jax.random.PRNGKey(cfg.train.seed + 1)
-            mk = jax.jit(lambda k: scripted_pong_pair(k, b, d.image_size)[:2])
-            for i in itertools.count(start_step):
-                pair = mk(jax.random.fold_in(base, i))
-                yield pair[0] if warp_mode else pair
-        return gen()
+        def mk(k):
+            pair = scripted_pong_pair(k, b, d.image_size)[:2]
+            return pair[0] if warp_mode else pair
+        return SyntheticBatches(mk, cfg.train.seed, start_step)
     # stored datasets: device-resident sampling when the store fits in HBM
     # (zero host work and zero H2D per step), grain streams otherwise.
     store_path = f"{d.data_dir}/{d.dataset}_{d.image_size}.npy"
@@ -81,24 +73,9 @@ def make_batch_iterator(cfg: Config, start_step: int = 0) -> Iterator:
     store = FrameStore(store_path)
     from keypoints_tpu.data.device import DeviceDataset, fits_in_memory
     if fits_in_memory(store):
-        from keypoints_tpu.data.device import (sample_frames,
-                                               sample_pair_frames)
         ds = DeviceDataset(store)
-        # frames/pairs are ARGUMENTS of the jitted sampler, not closures: a
-        # closed-over device array is a jaxpr constant and gets serialized
-        # into the (remote) compile payload — see data/device.py.
-        if d.pair_mode == "temporal":
-            fn = jax.jit(lambda fr, pr, k: sample_pair_frames(fr, pr, k, b))
-            sample = lambda k: fn(ds.frames, ds.pairs, k)
-        else:
-            fn = jax.jit(lambda fr, k: sample_frames(fr, k, b))
-            sample = lambda k: fn(ds.frames, k)
-
-        def gen():
-            base = jax.random.PRNGKey(cfg.train.seed + 3)
-            for i in itertools.count(start_step):
-                yield sample(jax.random.fold_in(base, i))
-        return gen()
+        return DeviceResidentBatches(ds, b, d.pair_mode, cfg.train.seed,
+                                     start_step)
     if d.pair_mode == "temporal":
         return prefetch(pair_stream(store, b, cfg.train.seed,
                                     start_batch=start_step,
@@ -106,6 +83,78 @@ def make_batch_iterator(cfg: Config, start_step: int = 0) -> Iterator:
     return prefetch(single_stream(store, b, cfg.train.seed,
                                   start_batch=start_step,
                                   workers=d.loader_workers))
+
+
+class InStepBatches:
+    """A batch source that is a pure device function of the step index:
+    ``train()`` fuses it INTO the jitted step — and runs a whole
+    ``lax.scan`` CHUNK of steps per dispatch, so neither batches nor the
+    step counter ever cross a dispatch boundary. On this environment's
+    remote-TPU tunnel each dispatch/fetch costs tens of ms: the chunked
+    loop took pong64 from ~1.3k to wire-speed and a 6 GiB device-resident
+    celeba run from 0.6k to the synthetic-data rate.
+
+    Also iterable (host-dispatch sampling) for the DP/shard_map path and
+    for viz/eval batches; the iterator yields the SAME sequence the fused
+    step consumes (both index batches by the step counter).
+    """
+
+    #: tuple of device arrays to pass through the jitted step (may be empty)
+    def args(self) -> tuple:
+        return ()
+
+    def sample_in_step(self, args: tuple, step_index):
+        raise NotImplementedError
+
+    seed: int = 0
+    start_step: int = 0
+
+    def __iter__(self):
+        import itertools
+        a = self.args()
+        fn = jax.jit(lambda args, i: self.sample_in_step(args, i))
+        for i in itertools.count(self.start_step):
+            yield fn(a, i)
+
+
+class SyntheticBatches(InStepBatches):
+    """On-device synthetic generator, keyed by fold_in(seed+1, step)."""
+
+    def __init__(self, make, seed: int, start_step: int):
+        self.make = make
+        self.seed = seed
+        self.start_step = start_step
+
+    def sample_in_step(self, args, step_index):
+        base = jax.random.PRNGKey(self.seed + 1)
+        return self.make(jax.random.fold_in(base, step_index))
+
+
+class DeviceResidentBatches(InStepBatches):
+    """Whole store in HBM; frames/pairs ride through the step as ARGUMENTS
+    (a closed-over device array would be serialized into the remote-compile
+    payload — see data/device.py)."""
+
+    def __init__(self, ds, batch: int, pair_mode: str, seed: int,
+                 start_step: int):
+        self.ds = ds
+        self.batch = batch
+        self.pair_mode = pair_mode
+        self.seed = seed
+        self.start_step = start_step
+
+    def args(self):
+        if self.pair_mode == "temporal":
+            return (self.ds.frames, self.ds.pairs)
+        return (self.ds.frames,)
+
+    def sample_in_step(self, args, step_index):
+        from keypoints_tpu.data.device import (sample_frames,
+                                               sample_pair_frames)
+        k = jax.random.fold_in(jax.random.PRNGKey(self.seed + 3), step_index)
+        if self.pair_mode == "temporal":
+            return sample_pair_frames(args[0], args[1], k, self.batch)
+        return sample_frames(args[0], k, self.batch)
 
 
 def make_loss(cfg: Config):
@@ -151,15 +200,56 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
     # uninterrupted one (tested in test_train_integration.py).
     rng = jax.random.PRNGKey(t.seed + 2)
     batches = make_batch_iterator(cfg, start_step=int(np.asarray(state.step)))
-    eval_batch = None
-    last_t, last_step = time.time(), int(np.asarray(state.step))
 
-    for _ in range(int(np.asarray(state.step)), t.steps):
-        batch = put(next(batches))
-        if eval_batch is None:
-            eval_batch = batch
-        state, metrics = step_fn(state, batch, rng)
-        step = int(np.asarray(state.step))
+    # Device-side batch sources (synthetic generators, device-resident
+    # stores) + single device: fuse sampling INTO the jitted step and scan
+    # a CHUNK of steps per dispatch — batches and the step counter never
+    # cross a dispatch boundary (each host round-trip through this tunnel
+    # costs tens of ms). Chunk = gcd of the log/eval/checkpoint cadences so
+    # every host-side action still lands exactly on its step. DP keeps
+    # host-dispatch sampling so shard_batch can place shards.
+    fused_src = isinstance(batches, InStepBatches) and not dp
+    if fused_src:
+        import math
+        smp = batches
+        base_step = make_train_step(cfg, model, loss=loss)
+        chunk = math.gcd(math.gcd(t.log_every, t.eval_every),
+                         t.checkpoint_every)
+
+        def run_chunk(state, args, rng, n):
+            def body(st, _):
+                batch = smp.sample_in_step(args, st.step)
+                return base_step(st, batch, rng)
+            st, ms = jax.lax.scan(body, state, None, length=n)
+            return st, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+        step_chunk = jax.jit(run_chunk, static_argnums=(3,),
+                             donate_argnums=(0,))
+        src_args = smp.args()
+        batch_iter = None
+    else:
+        chunk = 1
+        batch_iter = iter(batches)
+
+    eval_batch = None
+    # the step counter is tracked on the HOST: fetching state.step every
+    # iteration is a ~28 ms D2H round-trip through this tunnel AND a
+    # pipeline barrier (the next step can't be dispatched until the fetch
+    # lands) — measured ~90-150 ms/step of pure loop overhead before this.
+    step = int(np.asarray(state.step))
+    last_t, last_step = time.time(), step
+
+    while step < t.steps:
+        if fused_src:
+            n = min(chunk, t.steps - step)
+            state, metrics = step_chunk(state, src_args, rng, n)
+            step += n
+        else:
+            batch = put(next(batch_iter))
+            if eval_batch is None:
+                eval_batch = batch
+            state, metrics = step_fn(state, batch, rng)
+            step += 1
 
         if step % t.log_every == 0:
             now = time.time()
@@ -176,6 +266,8 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
             log.scalars(step, loss=lv, grad_norm=gn, frames_per_sec=fps)
 
         if step % t.eval_every == 0:
+            if eval_batch is None:          # resident path: sample once
+                eval_batch = next(iter(batches))
             imgs = eval_batch if not isinstance(eval_batch, tuple) \
                 else eval_batch[1]
             imgs = imgs[:8]

@@ -190,8 +190,8 @@ def test_pose_autogeneration_in_trainer(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cfg = get_config("pose256").override(**{
         "data.image_size": 32, "train.batch_size": 2})
-    it = make_batch_iterator(cfg)
-    batch = next(it)
+    it = make_batch_iterator(cfg)   # device-resident handle; iterable
+    batch = next(iter(it))
     assert batch.shape == (2, 3, 32, 32)
     assert (tmp_path / "data" / "pose_32.npy").exists()
 
