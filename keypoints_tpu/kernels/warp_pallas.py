@@ -60,6 +60,35 @@ def _unpack_odd(word_f32):
     return jax.lax.bitcast_convert_type(bits & mask, jnp.float32)
 
 
+def _grid_math(gx, gy, h, w, padding_mode, align_corners):
+    """Shared sampling-index math: grid planes → corner indices + weights.
+
+    Returns (x0, x1, y0, y1, wx0, wx1, wy0, wy1, y0f) with grid_sample's
+    exact corner/clip/zero-pad semantics (torch-pinned via the jnp oracle).
+    """
+    ix = _unnormalize(gx, w, align_corners)
+    iy = _unnormalize(gy, h, align_corners)
+    if padding_mode == "border":
+        ix = jnp.clip(ix, 0.0, w - 1)
+        iy = jnp.clip(iy, 0.0, h - 1)
+    x0f = jnp.floor(ix)
+    y0f = jnp.floor(iy)
+    fx = ix - x0f
+    fy = iy - y0f
+    x0 = jnp.clip(x0f, 0, w - 1).astype(jnp.int32)
+    x1 = jnp.clip(x0f + 1.0, 0, w - 1).astype(jnp.int32)
+    y0 = jnp.clip(y0f, 0.0, h - 1).astype(jnp.int32)
+    y1 = jnp.clip(y0f + 1.0, 0.0, h - 1).astype(jnp.int32)
+    if padding_mode == "zeros":
+        wx0 = jnp.where((x0f >= 0) & (x0f <= w - 1), 1.0 - fx, 0.0)
+        wx1 = jnp.where((x0f + 1 >= 0) & (x0f + 1 <= w - 1), fx, 0.0)
+        wy0 = jnp.where((y0f >= 0) & (y0f <= h - 1), 1.0 - fy, 0.0)
+        wy1 = jnp.where((y0f + 1 >= 0) & (y0f + 1 <= h - 1), fy, 0.0)
+    else:
+        wx0, wx1, wy0, wy1 = 1.0 - fx, fx, 1.0 - fy, fy
+    return x0, x1, y0, y1, wx0, wx1, wy0, wy1, y0f
+
+
 def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
                  align_corners, y_window, packed=False):
     """One program per (batch, 8-output-row block): the image block's
@@ -182,6 +211,118 @@ def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
                   + (iota_h == sl(y1e)).astype(data_t) * sl(wy1e))
             out = jnp.sum(hx * wv, axis=1)
         out_ref[0, :, r, :] = out.astype(out_ref.dtype)
+
+
+_CHUNK = 16  # image rows per predicated chunk (one packed f32 sublane tile)
+
+
+def _warp_kernel_rowwin(img_ref, gx_ref, gy_ref, out_ref, acc_ref, *,
+                        padding_mode, align_corners, win):
+    """MEASURED NEGATIVE — correct but 4× slower; NOT dispatched.
+
+    Packed warp with PER-ROW source windows and chunk predication: each
+    output row places its own ``win``-row window at its actual minimum
+    source row and skips 16-row chunks past its actual maximum with
+    ``pl.when`` — on paper the mask-reduce/x-interp work tracks the REAL
+    per-row spread (~15–25 rows at celeba128) instead of the block-shared
+    worst case (80). Measured on v5e (2026-08-16, profiled in a fused
+    make_pair at 128²/b128): **7.04 ms vs 1.65 ms** for the block-window
+    ``_warp_kernel``. The per-(row×chunk) dynamic ref slices materialize 6×
+    more VMEM copy volume than one per-program window, and the 32 predicated
+    regions break Mosaic's DMA/compute pipelining — the same mechanism that
+    sank round 1's simpler per-row rebuild (see ``_warp_kernel``'s in-body
+    comment). Kept in-tree with its exactness test as the record of WHY
+    per-row windowing loses; dispatch stays on the block-window kernel.
+    """
+    _, c, hp, w = img_ref.shape
+    h = 2 * hp
+    _, rows, wo = gx_ref.shape
+    x0, x1, y0, y1, wx0, wx1, wy0, wy1, y0f = _grid_math(
+        gx_ref[0], gy_ref[0], h, w, padding_mode, align_corners)
+    data_t = jnp.float32
+    y0e = y0[:, None, :]
+    y1e = y1[:, None, :]
+    wy0e = wy0[:, None, :].astype(data_t)
+    wy1e = wy1[:, None, :].astype(data_t)
+    wx0 = wx0.astype(data_t)
+    wx1 = wx1.astype(data_t)
+    cp = _CHUNK // 2                                       # packed rows/chunk
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (1, cp, 1), 1)
+
+    for r in range(rows):
+        sl = lambda a: jax.lax.slice_in_dim(a, r, r + 1, axis=0)
+        start = jnp.clip(jnp.min(sl(y0f)).astype(jnp.int32), 0, h - win)
+        start = pl.multiple_of((start // _CHUNK) * _CHUNK, _CHUNK)
+        start_p = pl.multiple_of(start // 2, cp)
+        last = jnp.max(sl(y1))                             # row's real extent
+        i0 = jnp.broadcast_to(sl(x0), (c * cp, wo))
+        i1 = jnp.broadcast_to(sl(x1), (c * cp, wo))
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def chunk_body(k):
+            img2 = (img_ref[0, :, pl.ds(start_p + k * cp, cp), :]
+                    .reshape(c * cp, w))
+            g0 = jnp.take_along_axis(img2, i0, axis=1)
+            g1 = jnp.take_along_axis(img2, i1, axis=1)
+            hx_e = (_unpack_even(g0) * sl(wx0)
+                    + _unpack_even(g1) * sl(wx1)).reshape(c, cp, wo)
+            hx_o = (_unpack_odd(g0) * sl(wx0)
+                    + _unpack_odd(g1) * sl(wx1)).reshape(c, cp, wo)
+            iota_h = 2 * iota_p + (start + k * _CHUNK)
+            wv_e = ((iota_h == sl(y0e)).astype(data_t) * sl(wy0e)
+                    + (iota_h == sl(y1e)).astype(data_t) * sl(wy1e))
+            wv_o = ((iota_h + 1 == sl(y0e)).astype(data_t) * sl(wy0e)
+                    + (iota_h + 1 == sl(y1e)).astype(data_t) * sl(wy1e))
+            part = jnp.sum(hx_e * wv_e + hx_o * wv_o, axis=1)  # (c, wo)
+            acc_ref[0:c, :] = acc_ref[0:c, :] + part
+
+        chunk_body(0)                    # start ≤ row min ⇒ always touched
+        for k in range(1, win // _CHUNK):
+            @pl.when(start + k * _CHUNK <= last)
+            def _(k=k):
+                chunk_body(k)
+        out_ref[0, :, r, :] = acc_ref[0:c, :].astype(out_ref.dtype)
+
+
+def warp_bilinear_rowwin(image: jnp.ndarray, grid: jnp.ndarray,
+                         padding_mode: str = "zeros",
+                         align_corners: bool = DEFAULT_ALIGN_CORNERS,
+                         y_window: int = 32,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Test/bench entry for the measured-negative row-window kernel.
+
+    Requires bf16 ``image``, W,Wo ≤ 128, H a multiple of 16, C ≤ 8, and a
+    proven per-row ``y_window`` bound. See ``_warp_kernel_rowwin``.
+    """
+    b, c, h, w = image.shape
+    _, ho, wo, _ = grid.shape
+    assert image.dtype == jnp.bfloat16 and h % _CHUNK == 0 and c <= 8
+    assert w <= MAX_LANES and wo <= MAX_LANES and ho % _ROWS_PER_PROGRAM == 0
+    win = min(h, -(-(int(y_window) + 14) // _CHUNK) * _CHUNK)
+    img_in = jax.lax.bitcast_convert_type(
+        image.reshape(b, c, h // 2, 2, w).transpose(0, 1, 2, 4, 3),
+        jnp.float32)                                       # (B, C, H/2, W)
+    grid = jax.lax.stop_gradient(grid)
+    row_spec = pl.BlockSpec((1, _ROWS_PER_PROGRAM, wo),
+                            lambda bi, i: (bi, i, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_warp_kernel_rowwin, padding_mode=padding_mode,
+                          align_corners=align_corners, win=win),
+        out_shape=jax.ShapeDtypeStruct((b, c, ho, wo), image.dtype),
+        grid=(b, ho // _ROWS_PER_PROGRAM),
+        in_specs=[
+            pl.BlockSpec((1, c, h // 2, w), lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec, row_spec,
+        ],
+        out_specs=pl.BlockSpec((1, c, _ROWS_PER_PROGRAM, wo),
+                               lambda bi, i: (bi, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, wo), jnp.float32)],
+        interpret=interpret,
+    )(img_in, grid[..., 0], grid[..., 1])
+    return jax.lax.stop_gradient(out)
 
 
 def _lane_upsample_field(field_ref, fx0, ffrac, span):
@@ -428,6 +569,7 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
     # kernel's dominant cost) touches half the sublane rows. The pack is an
     # XLA-side reshape+bitcast (fused, no copy beyond one transpose).
     packed = image.dtype == jnp.bfloat16 and h % 2 == 0
+
     if y_window is not None:
         # The window is shared by an 8-output-row block, so add the block's
         # own vertical span (rows map to ≈(1+scale) source rows each; 2x

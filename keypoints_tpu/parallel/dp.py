@@ -40,6 +40,14 @@ def shard_batch(mesh: Mesh, batch):
     return jax.device_put(batch, sharding)
 
 
+def shard_rng(rng: jax.Array) -> jax.Array:
+    """Per-shard rng inside ``shard_map``: fold in the data-axis index so
+    warp-mode augmentation draws independent warps on every device (a
+    correlated-shard bug would silently train on 1/N the warp diversity —
+    tested directly in tests/test_parallel.py)."""
+    return jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+
 def make_dp_train_step(cfg: Config, mesh: Mesh, tx=None,
                        loss: Optional[Callable] = None) -> Callable:
     """Jitted DP train step over ``mesh``: (state, batch, rng) → (state, metrics).
@@ -51,8 +59,7 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, tx=None,
     inner = make_train_step(cfg, model, tx, loss, axis_name=DATA_AXIS)
 
     def sharded(state, batch, rng):
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
-        return inner(state, batch, rng)
+        return inner(state, batch, shard_rng(rng))
 
     shard_fn = jax.shard_map(
         sharded, mesh=mesh,

@@ -92,3 +92,32 @@ def test_train_step_runs_and_is_finite():
     assert int(state2.step) == 1
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["grad_norm"]) > 0
+
+
+def test_upconv2x_custom_vjp_matches_autodiff():
+    """_upconv2x's hand-written grads (no dy reverses) must equal XLA's
+    autodiff of the lhs-dilated conv formulation, for both x and k2."""
+    from keypoints_tpu.models.nets import _UP_DN, _upconv2x
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 6, 6, 5), jnp.float32)
+    k2 = jnp.asarray(rs.randn(4, 4, 5, 7) * 0.2, jnp.float32)
+
+    def ref(x, k2):
+        return jax.lax.conv_general_dilated(
+            x, k2, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=_UP_DN)
+
+    y_ref = ref(x, k2)
+    y = _upconv2x(x, k2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+    assert y.shape == (2, 12, 12, 7)
+
+    cot = jnp.asarray(rs.randn(*y.shape), jnp.float32)
+    ga = jax.grad(lambda *a: jnp.vdot(ref(*a), cot), argnums=(0, 1))(x, k2)
+    gc = jax.grad(lambda *a: jnp.vdot(_upconv2x(*a), cot), argnums=(0, 1))(
+        x, k2)
+    np.testing.assert_allclose(np.asarray(gc[0]), np.asarray(ga[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(ga[1]),
+                               rtol=1e-5, atol=1e-5)

@@ -32,9 +32,14 @@ def test_host_shard_single_process():
 
 def test_local_batch_size_single_process():
     assert multihost.local_batch_size(64) == 64
+
+
+def test_local_batch_size_rejects_indivisible(monkeypatch):
+    # exercise the REAL divisibility check by faking a 2-process world
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert multihost.local_batch_size(64) == 32
     with pytest.raises(ValueError, match="not divisible"):
-        multihost.local_batch_size(63) if jax.process_count() > 1 else \
-            (_ for _ in ()).throw(ValueError("63 not divisible by fake"))
+        multihost.local_batch_size(63)
 
 
 _WORKER = r"""

@@ -61,6 +61,20 @@ def test_dp_step_matches_single_device():
                                    rtol=1e-4, atol=2e-5)
 
 
+def test_dp_shard_rng_decorrelated():
+    # the exact helper the DP step uses must give every shard a distinct key
+    from jax.sharding import PartitionSpec as P
+
+    from keypoints_tpu.parallel.dp import DATA_AXIS, shard_rng
+
+    mesh = data_parallel_mesh()
+    f = jax.shard_map(lambda r: shard_rng(r)[None], mesh=mesh,
+                      in_specs=P(), out_specs=P(DATA_AXIS), check_vma=False)
+    keys = np.asarray(f(jax.random.PRNGKey(7)))
+    assert keys.shape[0] == len(jax.devices())
+    assert len({tuple(k) for k in keys}) == keys.shape[0]
+
+
 def test_dp_warp_mode_runs_with_decorrelated_rng():
     cfg = _cfg().override(**{"data.pair_mode": "warp"})
     mesh = data_parallel_mesh()
