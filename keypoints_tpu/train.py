@@ -159,8 +159,18 @@ class DeviceResidentBatches(InStepBatches):
 
 def make_loss(cfg: Config):
     if cfg.train.loss == "perceptual":
+        import jax.numpy as jnp
+
         from keypoints_tpu.models.vgg import make_feature_fn
-        feat = make_feature_fn(layers=cfg.train.perceptual_layers)
+        # Run the frozen VGG trunk in the model's compute dtype: at 256² the
+        # perceptual trunk is the FLOP-heavy part of the step and bf16 keeps
+        # it on the MXU's fast path (taps are cast back to f32 inside
+        # VGG16Features, so the layer-difference loss accumulates in f32).
+        # Parity tests pin the f32 path (models/vgg.py default dtype=None).
+        dtype = (jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16"
+                 else None)
+        feat = make_feature_fn(layers=cfg.train.perceptual_layers,
+                               dtype=dtype)
         return make_perceptual_loss(feat, cfg.train.perceptual_layers)
     return None  # default L2
 

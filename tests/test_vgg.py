@@ -75,3 +75,26 @@ def test_perceptual_loss_grayscale_input():
     loss = make_perceptual_loss(feat, ("relu1_2",))
     x = jnp.asarray(np.random.RandomState(1).rand(2, 1, 32, 32), jnp.float32)
     assert np.isfinite(float(loss(x, x * 0.5)))
+
+
+def test_make_loss_uses_compute_dtype_trunk():
+    """train.make_loss runs the frozen VGG trunk in the model compute dtype
+    (bf16 trains at 2.2x on TPU at 256²) while the loss itself stays f32 and
+    close to the f32-trunk value."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.train import make_loss
+
+    cfg = get_config("pose256").override(**{
+        "train.perceptual_layers": ("relu1_2",)})
+    rs = np.random.RandomState(4)
+    a = jnp.asarray(rs.rand(2, 3, 32, 32), jnp.float32)
+    b = jnp.asarray(rs.rand(2, 3, 32, 32), jnp.float32)
+
+    lb = make_loss(cfg)(a, b)                                   # bf16 trunk
+    lf = make_loss(cfg.override(**{"train.compute_dtype": "float32"}))(a, b)
+    assert lb.dtype == jnp.float32
+    np.testing.assert_allclose(float(lb), float(lf), rtol=5e-2)
+    assert float(lf) > 0
