@@ -76,6 +76,8 @@ def bench_extract(batch_size: int = 256, warmup: int = 5, iters: int = 30):
 
 
 def main():
+    from keypoints_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()     # warm reruns skip the multi-minute TPU compile
     platform = jax.devices()[0].platform
     batch = 128 if platform != "cpu" else 16
     iters = 30 if platform != "cpu" else 5

@@ -97,6 +97,9 @@ def _cli(argv=None):
     from keypoints_tpu import checkpoint as ckpt
     from keypoints_tpu.configs import get_config
     from keypoints_tpu.training import TrainState, init_state
+    from keypoints_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     p = argparse.ArgumentParser(description="evaluate a trained checkpoint")
     p.add_argument("--preset", required=True)

@@ -294,6 +294,8 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
 
 
 def main(argv=None):
+    from keypoints_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()   # relaunch/resume skips the 20-182 s TPU compile
     p = argparse.ArgumentParser(description="keypoints_tpu trainer")
     p.add_argument("--preset", default="pong64")
     p.add_argument("--override", nargs="*", default=[],

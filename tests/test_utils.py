@@ -136,3 +136,21 @@ def test_logger_writes_tensorboard_events(tmp_path):
     assert files and files[0].stat().st_size > 0
     # no-op logger never writes
     Logger(None).scalars(1, loss=1.0)
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """CLI compile-cache helper: explicit arg > env > default, dir created."""
+    import os
+
+    import jax
+
+    from keypoints_tpu.utils.compile_cache import enable_compile_cache
+
+    try:
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        p = enable_compile_cache(str(tmp_path / "c1"))
+        assert os.path.isdir(p) and p.endswith("c1")
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "c2"))
+        assert enable_compile_cache().endswith("c2")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
