@@ -211,3 +211,57 @@ def test_extract_keypoints_parity():
     got = np.asarray(model.apply({"params": params}, jnp.asarray(x),
                                  method=model.extract_keypoints))
     assert np.linalg.norm(got - want, axis=-1).max() < 1e-3
+
+
+def test_autoencoder_gradient_parity():
+    """Parameter-gradient agreement for the Jakab autoencoder — pins the
+    decoder's fused-upsample custom VJP (models/nets.py::_upconv2x) against
+    torch autograd of the plain upsample+conv formulation, end to end
+    through the full model (forward parity alone cannot catch a wrong
+    hand-written backward)."""
+    torch.manual_seed(5)
+    tnet = TorchKeypointAutoencoder(
+        num_keypoints=4, in_channels=1, out_channels=1, sigma=0.12,
+        temperature=0.8, variant="marginal", encoder_filters=FILTERS,
+        encoder_strides=STRIDES, decoder_filters=DEC_FILTERS,
+        decoder_upsample=DEC_UP, groups=4)
+
+    cfg = get_config("pong64").override(**{
+        "model.encoder_filters": FILTERS,
+        "model.encoder_strides": STRIDES,
+        "model.decoder_filters": DEC_FILTERS,
+        "model.decoder_upsample": DEC_UP,
+        "model.groups": 4,
+        "model.num_keypoints": 4,
+        "model.sigma": 0.12,
+        "model.temperature": 0.8,
+        "data.image_size": 32,
+        "train.compute_dtype": "float32"})
+    model = build_model(cfg)
+    params = _flax_params_from_torch(tnet)
+
+    rs = np.random.RandomState(7)
+    src = rs.rand(2, 1, 32, 32).astype(np.float32)
+    tgt = rs.rand(2, 1, 32, 32).astype(np.float32)
+
+    ts, tt = torch.tensor(src), torch.tensor(tgt)
+    recon, _ = tnet(ts, tt)
+    ((recon - tt) ** 2).mean().backward()
+    tgrads = {n: p.grad if p.grad is not None else torch.zeros_like(p)
+              for n, p in tnet.named_parameters()}
+    g_torch = convert_torch_state_dict(tgrads, rename=rename_map_for_flax())
+
+    def loss_fn(p):
+        r, _ = model.apply({"params": p}, jnp.asarray(src), jnp.asarray(tgt))
+        return jnp.mean((r - jnp.asarray(tgt)) ** 2)
+
+    g_jax = jax.grad(loss_fn)(params)
+
+    flat_t = {"/".join(str(k.key) for k in path): np.asarray(v) for path, v
+              in jax.tree_util.tree_flatten_with_path(g_torch)[0]}
+    flat_j = {"/".join(str(k.key) for k in path): np.asarray(v) for path, v
+              in jax.tree_util.tree_flatten_with_path(g_jax)[0]}
+    assert set(flat_t) == set(flat_j)
+    for name in flat_j:
+        np.testing.assert_allclose(flat_j[name], flat_t[name], atol=2e-5,
+                                   err_msg=name)
