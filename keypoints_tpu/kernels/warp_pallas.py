@@ -107,27 +107,8 @@ def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
     h = 2 * hp if packed else hp
     _, rows, wo = gx_ref.shape
 
-    ix = _unnormalize(gx_ref[0], w, align_corners)        # (rows, Wo)
-    iy = _unnormalize(gy_ref[0], h, align_corners)
-    if padding_mode == "border":
-        ix = jnp.clip(ix, 0.0, w - 1)
-        iy = jnp.clip(iy, 0.0, h - 1)
-    x0f = jnp.floor(ix)
-    y0f = jnp.floor(iy)
-    fx = ix - x0f
-    fy = iy - y0f
-    x0 = jnp.clip(x0f, 0, w - 1).astype(jnp.int32)
-    x1 = jnp.clip(x0f + 1.0, 0, w - 1).astype(jnp.int32)
-    y0 = jnp.clip(y0f, 0.0, h - 1).astype(jnp.int32)
-    y1 = jnp.clip(y0f + 1.0, 0.0, h - 1).astype(jnp.int32)
-
-    if padding_mode == "zeros":
-        wx0 = jnp.where((x0f >= 0) & (x0f <= w - 1), 1.0 - fx, 0.0)
-        wx1 = jnp.where((x0f + 1 >= 0) & (x0f + 1 <= w - 1), fx, 0.0)
-        wy0 = jnp.where((y0f >= 0) & (y0f <= h - 1), 1.0 - fy, 0.0)
-        wy1 = jnp.where((y0f + 1 >= 0) & (y0f + 1 <= h - 1), fy, 0.0)
-    else:
-        wx0, wx1, wy0, wy1 = 1.0 - fx, fx, 1.0 - fy, fy
+    x0, x1, y0, y1, wx0, wx1, wy0, wy1, y0f = _grid_math(
+        gx_ref[0], gy_ref[0], h, w, padding_mode, align_corners)
 
     # vertical window shared by the whole 8-row block
     if y_window is not None and y_window < h:
@@ -406,27 +387,8 @@ def _warp_field_kernel(img_ref, fx_ref, fy_ref, out_ref, ufx_ref, ufy_ref, *,
     gx = jnp.concatenate(rows_gx, axis=0)                  # (rows, span)
     gy = jnp.concatenate(rows_gy, axis=0)
 
-    ix = _unnormalize(gx, w, align_corners)
-    iy = _unnormalize(gy, h, align_corners)
-    if padding_mode == "border":
-        ix = jnp.clip(ix, 0.0, w - 1)
-        iy = jnp.clip(iy, 0.0, h - 1)
-    x0f = jnp.floor(ix)
-    y0f = jnp.floor(iy)
-    fx = ix - x0f
-    fy = iy - y0f
-    x0 = jnp.clip(x0f, 0, w - 1).astype(jnp.int32)
-    x1 = jnp.clip(x0f + 1.0, 0, w - 1).astype(jnp.int32)
-    y0 = jnp.clip(y0f, 0.0, h - 1).astype(jnp.int32)
-    y1 = jnp.clip(y0f + 1.0, 0.0, h - 1).astype(jnp.int32)
-
-    if padding_mode == "zeros":
-        wx0 = jnp.where((x0f >= 0) & (x0f <= w - 1), 1.0 - fx, 0.0)
-        wx1 = jnp.where((x0f + 1 >= 0) & (x0f + 1 <= w - 1), fx, 0.0)
-        wy0 = jnp.where((y0f >= 0) & (y0f <= h - 1), 1.0 - fy, 0.0)
-        wy1 = jnp.where((y0f + 1 >= 0) & (y0f + 1 <= h - 1), fy, 0.0)
-    else:
-        wx0, wx1, wy0, wy1 = 1.0 - fx, fx, 1.0 - fy, fy
+    x0, x1, y0, y1, wx0, wx1, wy0, wy1, y0f = _grid_math(
+        gx, gy, h, w, padding_mode, align_corners)
 
     # shared vertical window for the whole 8-row block: building the
     # windowed image stack ONCE per program beats per-row windows — the
