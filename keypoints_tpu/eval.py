@@ -54,6 +54,7 @@ def synthetic_eval_batch(cfg: Config, batch: int, key: jax.Array):
 
     * ``pose``        — articulated stick figure, 16 joint positions;
     * ``*pong*``/``atari`` — scripted Pong, (ball, paddle, paddle);
+    * ``celeba``      — procedural faces, (eye_l, eye_r, nose, mouth);
     * everything else — colored moving dots at the model's keypoint count.
     """
     d = cfg.data
@@ -69,6 +70,13 @@ def synthetic_eval_batch(cfg: Config, batch: int, key: jax.Array):
         from keypoints_tpu.data.synthetic import scripted_pong_pair
         f1, f2, state = scripted_pong_pair(key, batch, d.image_size)
         return f1, f2, np.asarray(state)
+    if d.dataset == "celeba":
+        from keypoints_tpu.data.faces import render_faces
+        rng = np.random.RandomState(
+            int(jax.random.randint(key, (), 0, 1 << 30)))
+        imgs, marks = render_faces(batch, d.image_size, rng)
+        frames = jnp.asarray(imgs)
+        return frames, frames, marks
     from keypoints_tpu.data.synthetic import moving_dots_pair
     src, tgt, pos = moving_dots_pair(key, batch, d.image_size,
                                      num_dots=cfg.model.num_keypoints,

@@ -62,14 +62,33 @@ def make_batch_iterator(cfg: Config, start_step: int = 0) -> Iterator:
     # stored datasets: device-resident sampling when the store fits in HBM
     # (zero host work and zero H2D per step), grain streams otherwise.
     store_path = f"{d.data_dir}/{d.dataset}_{d.image_size}.npy"
-    if not os.path.exists(store_path) and d.dataset == "pose":
-        # no offline human-pose footage ships with the repo: synthesize the
-        # articulated-figure stand-in so pose256 trains out of the box
-        # (swap in real frames via data.records.image_folder_to_store).
-        from keypoints_tpu.data.pose import generate_pose_store
-        print(f"generating synthetic pose store at {store_path}", flush=True)
-        generate_pose_store(store_path, size=d.image_size,
-                            seed=cfg.train.seed)
+    if not os.path.exists(store_path):
+        # Every stored-dataset preset trains out of the box: real footage
+        # can't be downloaded offline, so missing stores are synthesized
+        # (pose: articulated figures; celeba: procedural faces; atari:
+        # scripted-Pong rollouts, or real ALE if installed). Swap in real
+        # frames via data.records.image_folder_to_store + data.data_dir.
+        if d.dataset == "pose":
+            from keypoints_tpu.data.pose import generate_pose_store
+            print(f"generating synthetic pose store at {store_path}",
+                  flush=True)
+            generate_pose_store(store_path, size=d.image_size,
+                                seed=cfg.train.seed)
+        elif d.dataset == "celeba":
+            from keypoints_tpu.data.faces import generate_face_store
+            print(f"generating synthetic face store at {store_path}",
+                  flush=True)
+            generate_face_store(store_path, size=d.image_size,
+                                seed=cfg.train.seed)
+        elif d.dataset == "atari":
+            from keypoints_tpu.data.collect import collect
+            print(f"collecting rollouts into {store_path}", flush=True)
+            collect(store_path, size=d.image_size, seed=cfg.train.seed)
+        else:
+            raise FileNotFoundError(
+                f"{store_path} not found; convert real frames with "
+                f"data.records.image_folder_to_store or point data.data_dir "
+                f"at an existing store")
     store = FrameStore(store_path)
     from keypoints_tpu.data.device import DeviceDataset, fits_in_memory
     if fits_in_memory(store):

@@ -1,6 +1,7 @@
 """Data pipeline tests: synthetic generators, FrameStore, streams, collector."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -204,3 +205,48 @@ def test_device_dataset_rejects_oversized(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="device budget"):
         DeviceDataset(FrameStore(path), budget_bytes=10)
+
+
+def test_generate_face_store(tmp_path):
+    """Offline CelebA stand-in: valid uint8 store, deterministic per seed,
+    faces vary across images (landmark structure to discover)."""
+    from keypoints_tpu.data.faces import generate_face_store
+    from keypoints_tpu.data.records import FrameStore
+
+    p = str(tmp_path / "celeba_32.npy")
+    generate_face_store(p, count=8, size=32, seed=3, chunk=4)
+    st = FrameStore(p)
+    assert st.frames.shape == (8, 3, 32, 32) and st.frames.dtype == np.uint8
+    assert st.pairs is None
+    # images differ (random head pose) but are deterministic given the seed
+    assert np.abs(st.frames[0].astype(int) - st.frames[1].astype(int)).max() > 10
+    p2 = str(tmp_path / "again_32.npy")
+    generate_face_store(p2, count=8, size=32, seed=3, chunk=4)
+    np.testing.assert_array_equal(np.load(p2), st.frames)
+
+
+def test_missing_store_error_message(tmp_path):
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.train import make_batch_iterator
+
+    cfg = get_config("celeba128").override(**{
+        "data.dataset": "nosuch", "data.data_dir": str(tmp_path)})
+    with pytest.raises(FileNotFoundError, match="image_folder_to_store"):
+        make_batch_iterator(cfg)
+
+
+def test_face_landmarks_sit_on_their_parts():
+    """The exported ground-truth landmarks must land ON the drawn parts:
+    the eye landmark pixel is much darker than the face average."""
+    from keypoints_tpu.data.faces import render_faces
+
+    imgs, marks = render_faces(6, 64, np.random.RandomState(11))
+    assert imgs.shape == (6, 3, 64, 64) and marks.shape == (6, 4, 2)
+    assert np.all(np.abs(marks) <= 1.0)
+    for b in range(6):
+        for k in (0, 1):                                  # the two eyes
+            x, y = marks[b, k]
+            j = int(round((x + 1) / 2 * 63))
+            i = int(round((y + 1) / 2 * 63))
+            eye = imgs[b, :, i, j].mean()
+            assert eye < 0.35, (b, k, eye)
