@@ -250,3 +250,68 @@ def test_face_landmarks_sit_on_their_parts():
             i = int(round((y + 1) / 2 * 63))
             eye = imgs[b, :, i, j].mean()
             assert eye < 0.35, (b, k, eye)
+
+
+def test_collect_ale_branch_with_fake_gym(tmp_path, monkeypatch):
+    """Exercise the REAL ALE code path (gym probe, rollout loop, grayscale/
+    resize preprocessing, episode boundaries) against a fake gymnasium —
+    ale-py isn't installable offline but the branch must not rot."""
+    import sys
+    import types
+
+    from keypoints_tpu.data.collect import _ale_available, collect
+
+    class _Space:
+        def sample(self):
+            return 0
+
+    class _FakeEnv:
+        def __init__(self):
+            self._rng = np.random.RandomState(0)
+            self._t = 0
+            self.action_space = _Space()
+
+        def reset(self, seed=None):
+            self._t = 0
+            return None, {}
+
+        def step(self, action):
+            self._t += 1
+            return None, 0.0, self._t >= 7, False, {}
+
+        def render(self):
+            return self._rng.randint(0, 255, (84, 84, 3), dtype=np.uint8)
+
+        def close(self):
+            pass
+
+    fake = types.ModuleType("gymnasium")
+    fake.make = lambda name, render_mode=None: _FakeEnv()
+    monkeypatch.setitem(sys.modules, "gymnasium", fake)
+
+    assert _ale_available("ALE/Pong-v5")
+    path = collect(str(tmp_path / "atari_32.npy"), env_name="ALE/Pong-v5",
+                   episodes=2, steps_per_episode=10, size=32, delta=2)
+    store = FrameStore(path)
+    assert store.frames.shape == (14, 1, 32, 32)          # 2 episodes × 7
+    assert store.frames.dtype == np.uint8
+    # pair index never crosses the episode boundary at frame 7
+    assert len(store.pairs) == 2 * 5
+    assert np.all(store.pairs[:, 1] - store.pairs[:, 0] == 2)
+    assert not np.any((store.pairs[:, 0] < 7) & (store.pairs[:, 1] >= 7))
+
+
+def test_ale_probe_false_when_make_fails(monkeypatch):
+    import sys
+    import types
+
+    from keypoints_tpu.data.collect import _ale_available
+
+    fake = types.ModuleType("gymnasium")
+
+    def _raise(name, render_mode=None):
+        raise RuntimeError("no ROMs installed")
+
+    fake.make = _raise
+    monkeypatch.setitem(sys.modules, "gymnasium", fake)
+    assert not _ale_available("ALE/Pong-v5")
