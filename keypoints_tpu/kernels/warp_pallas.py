@@ -194,6 +194,107 @@ def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
         out_ref[0, :, r, :] = out.astype(out_ref.dtype)
 
 
+def _tree_select(v, idx, n):
+    """Per-lane sublane gather as a binary select tree: v (C, n, L) with n a
+    power of two, idx (1, L) in [0, n) → (C, 1, L) holding v[:, idx[l], l].
+
+    Straight-line: log2(n) levels of static slice + ``where`` — no dynamic
+    slices, no predication (the two schedules Mosaic punished in
+    ``_warp_kernel_rowwin``)."""
+    while n > 1:
+        half = n // 2
+        top = jax.lax.slice_in_dim(v, 0, half, axis=1)
+        bot = jax.lax.slice_in_dim(v, half, n, axis=1)
+        cond = (idx & half) != 0                          # high bit first
+        v = jnp.where(cond[:, None, :], bot, top)
+        n = half
+    return v
+
+
+def _warp_kernel_tree(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
+                      align_corners, y_window):
+    """MEASURED TIE — not dispatched (``ysel="tree"`` selects it explicitly).
+
+    Packed warp with a binary-select-TREE y-select instead of the
+    mask-reduce: the x-gathered packed columns collapse to the two needed
+    source rows via two select trees (each packed f32 word holds rows
+    2r/2r+1, so the y0-word and y1-word trees cover all four bilinear
+    corners), then unpack/interp run on single rows — ~2.5× fewer VPU ops
+    on paper than the ~13-ops-per-window-element mask-reduce. Measured on
+    v5e (celeba128 shapes, 2026-08-16): **2.072 ms vs 2.055 ms** — a dead
+    heat. The mask-reduce's independent FMAs pipeline as well as the
+    tree's log2(n) serially-dependent select levels, and the shared
+    x-gathers bound both. Kept with its exactness test as the record that
+    the op-count model does not predict Mosaic VPU throughput here."""
+    _, c, hp, w = img_ref.shape
+    h = 2 * hp
+    _, rows, wo = gx_ref.shape
+    x0, x1, y0, y1, wx0, wx1, wy0, wy1, y0f = _grid_math(
+        gx_ref[0], gy_ref[0], h, w, padding_mode, align_corners)
+    data_t = jnp.float32
+    wx0 = wx0.astype(data_t)
+    wx1 = wx1.astype(data_t)
+    wy0 = wy0.astype(data_t)
+    wy1 = wy1.astype(data_t)
+
+    if y_window is not None and y_window < h:
+        win = y_window
+        start = jnp.clip(jnp.min(y0f).astype(jnp.int32), 0, h - win)
+        start = pl.multiple_of((start // 16) * 16, 16)
+    else:
+        win = h
+        start = 0
+    win_p = win // 2
+    start_p = start // 2
+    n = 1
+    while n < win_p:
+        n *= 2
+    img2 = img_ref[0, :, pl.ds(start_p, win_p), :].reshape(c * win_p, w)
+
+    def gather_tiled(idx_t):
+        acc = None
+        for ji in range(0, w, MAX_LANES):
+            ji_end = min(ji + MAX_LANES, w)
+            local = jnp.clip(idx_t - ji, 0, ji_end - ji - 1)
+            part = jnp.take_along_axis(img2[:, ji:ji_end], local, axis=1)
+            if acc is None:
+                acc = part
+                if w > MAX_LANES:
+                    acc = jnp.where(idx_t < ji_end, part,
+                                    jnp.zeros_like(part))
+            else:
+                acc = jnp.where((idx_t >= ji) & (idx_t < ji_end), part, acc)
+        return acc
+
+    pad = n - win_p
+    for r in range(rows):
+        sl = lambda a: jax.lax.slice_in_dim(a, r, r + 1, axis=0)
+        i0 = jnp.broadcast_to(sl(x0), (c * win_p, wo))
+        i1 = jnp.broadcast_to(sl(x1), (c * win_p, wo))
+        g = jnp.concatenate([gather_tiled(i0), gather_tiled(i1)], axis=0)
+        g = g.reshape(2 * c, win_p, wo)
+        if pad:
+            g = jnp.concatenate(
+                [g, jnp.zeros((2 * c, pad, wo), g.dtype)], axis=1)
+        y0r, y1r = sl(y0), sl(y1)
+        # out-of-window rows only ever carry zero wy weight (window/clip
+        # invariants, same as the mask-reduce), so clamping is safe.
+        a_idx = jnp.clip((y0r >> 1) - start_p, 0, n - 1)
+        b_idx = jnp.clip((y1r >> 1) - start_p, 0, n - 1)
+        wa = _tree_select(g, a_idx, n)                    # (2c, 1, wo)
+        wb = _tree_select(g, b_idx, n)
+        odd0 = (y0r & 1)[:, None, :] == 1
+        odd1 = (y1r & 1)[:, None, :] == 1
+        row0 = jnp.where(odd0, _unpack_odd(wa), _unpack_even(wa))
+        row1 = jnp.where(odd1, _unpack_odd(wb), _unpack_even(wb))
+        row0 = row0.reshape(2, c, wo)
+        row1 = row1.reshape(2, c, wo)
+        hx0 = row0[0] * sl(wx0) + row0[1] * sl(wx1)       # (c, wo) at y0
+        hx1 = row1[0] * sl(wx0) + row1[1] * sl(wx1)       # (c, wo) at y1
+        out = hx0 * sl(wy0) + hx1 * sl(wy1)
+        out_ref[0, :, r, :] = out.astype(out_ref.dtype)
+
+
 _CHUNK = 16  # image rows per predicated chunk (one packed f32 sublane tile)
 
 
@@ -502,7 +603,8 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
                          padding_mode: str = "zeros",
                          align_corners: bool = DEFAULT_ALIGN_CORNERS,
                          y_window: int | None = None,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         ysel: str = "mask") -> jnp.ndarray:
     """Fused bilinear sampling: image (B,C,H,W), grid (B,Ho,Wo,2) → (B,C,Ho,Wo).
 
     Forward-only (see module docstring); W and Wo must be ≤512.
@@ -549,9 +651,14 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
     else:
         img_in = image
         img_block = (1, c, h, w)
-    kern = functools.partial(_warp_kernel, padding_mode=padding_mode,
-                             align_corners=align_corners, y_window=y_window,
-                             packed=packed)
+    if packed and ysel == "tree":
+        kern = functools.partial(_warp_kernel_tree, padding_mode=padding_mode,
+                                 align_corners=align_corners,
+                                 y_window=y_window)
+    else:
+        kern = functools.partial(_warp_kernel, padding_mode=padding_mode,
+                                 align_corners=align_corners,
+                                 y_window=y_window, packed=packed)
     # The grid is passed as separate x / y planes: a trailing dim of 2 gets a
     # T(2,128) tiled layout that forces a 2x full-grid relayout copy in front
     # of the custom call (measured 1.7 ms each at 128²/b128).

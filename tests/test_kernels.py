@@ -321,3 +321,22 @@ def test_warp_rowwin_packed_matches_oracle(padding):
     want = grid_sample(img, g, padding, True)
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
                                atol=2e-2)
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+def test_warp_tree_yselect_matches_oracle(padding):
+    """The select-tree y-select variant (measured tie with the mask-reduce,
+    kept in-tree — see _warp_kernel_tree) stays exact, windowed and not."""
+    from keypoints_tpu.data.augment import (WarpConfig, random_warp_grid,
+                                            warp_y_window)
+    cfg = WarpConfig()
+    img = jnp.asarray(np.random.RandomState(23).rand(3, 3, 64, 64),
+                      jnp.float32)
+    g = random_warp_grid(jax.random.PRNGKey(23), 3, 64, 64, cfg)
+    want = grid_sample(img, g, padding, True)
+    for win in (warp_y_window(cfg, 64), None):
+        got = warp_bilinear_pallas(img.astype(jnp.bfloat16), g, padding,
+                                   True, y_window=win, interpret=True,
+                                   ysel="tree")
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want), atol=2e-2)
