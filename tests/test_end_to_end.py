@@ -138,3 +138,25 @@ def test_train_cli_resume(tmp_path, monkeypatch, capsys):
     out2 = capsys.readouterr().out
     assert "resumed from step 4" in out2
     assert "step      6" in out2
+
+
+def test_train_cli_data_parallel(tmp_path, monkeypatch, capsys):
+    """train()'s DP branch end to end on the 8 virtual devices: shard_map
+    step + host-dispatch batch placement + logging (previously only the DP
+    step function was covered, not the loop around it)."""
+    import jax
+
+    from keypoints_tpu import train as train_mod
+    assert len(jax.devices()) == 8
+    monkeypatch.chdir(tmp_path)
+    train_mod.main([
+        "--preset", "pong64", "--steps", "4", "--override",
+        "model.encoder_filters=(8,16)", "model.encoder_strides=(2,2)",
+        "model.decoder_filters=(16,8)", "model.decoder_upsample=(True,True)",
+        "model.groups=4", "data.image_size=32", "train.batch_size=16",
+        "train.compute_dtype=float32", "train.log_every=2",
+        "train.eval_every=100", "train.checkpoint_every=100",
+        "train.data_parallel=True", "data.dataset=synthetic_dots"])
+    out = capsys.readouterr().out
+    assert "step      4" in out
+    assert "data_parallel off" not in out
