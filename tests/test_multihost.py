@@ -81,6 +81,40 @@ def total(x):
 
 got = float(np.asarray(jax.device_get(total(arr)))[0, 0])
 assert got == 6.0, got                              # 1+1+2+2
+
+# REAL multihost DP training (SURVEY 2.4): tiny model over the 4-device
+# global mesh, each process feeding only its local batch shard; the
+# pmean'd loss and the replicated params must agree across processes
+# bit-for-bit (the driver compares the printed values).
+from keypoints_tpu.configs import get_config
+from keypoints_tpu.parallel import (data_parallel_mesh, make_dp_train_step,
+                                    replicate)
+from keypoints_tpu.training import init_state
+
+mesh = data_parallel_mesh()                          # axis name "data"
+
+cfg = get_config("pong64").override(**{
+    "model.encoder_filters": (4, 8), "model.encoder_strides": (2, 2),
+    "model.decoder_filters": (8, 4), "model.decoder_upsample": (True, True),
+    "model.groups": 2, "data.image_size": 16, "data.pair_mode": "temporal",
+    "train.batch_size": 8, "train.compute_dtype": "float32"})
+state = replicate(mesh, init_state(cfg, jax.random.PRNGKey(0)))
+step = make_dp_train_step(cfg, mesh)
+
+sharding = NamedSharding(mesh, P("data"))
+def host_batch(seed):
+    rs = np.random.RandomState(seed + 1000 * pid)
+    mk = lambda: jax.make_array_from_process_local_data(
+        sharding, rs.rand(4, 1, 16, 16).astype(np.float32), (8, 1, 16, 16))
+    return mk(), mk()
+
+loss = None
+for i in range(3):
+    state, m = step(state, host_batch(i), jax.random.PRNGKey(5))
+    loss = float(np.asarray(jax.device_get(m["loss"])))
+ck = float(sum(np.abs(np.asarray(jax.device_get(l))).sum()
+               for l in jax.tree_util.tree_leaves(state.params)))
+print(f"TRAIN_OK loss={loss:.9f} ck={ck:.6f}", flush=True)
 print(f"WORKER_OK {pid}", flush=True)
 """
 
@@ -103,6 +137,11 @@ def test_two_process_psum(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"WORKER_OK {i}" in out
+    # the DP-trained loss and params checksum must be IDENTICAL on both
+    # processes — pmean'd grads + replicated updates keep hosts in lockstep
+    lines = [next(ln for ln in o.splitlines() if ln.startswith("TRAIN_OK"))
+             for o in outs]
+    assert lines[0] == lines[1], lines
 
 
 def _free_port() -> int:
