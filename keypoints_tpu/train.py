@@ -178,8 +178,6 @@ class DeviceResidentBatches(InStepBatches):
 
 def make_loss(cfg: Config):
     if cfg.train.loss == "perceptual":
-        import jax.numpy as jnp
-
         from keypoints_tpu.models.vgg import make_feature_fn
         # Run the frozen VGG trunk in the model's compute dtype: at 256² the
         # perceptual trunk is the FLOP-heavy part of the step and bf16 keeps
