@@ -105,6 +105,26 @@ def main():
         img.astype(jnp.bfloat16))
     check("warp bf16 packed (block window)", got16, want, 2e-2)
 
+    # pong64-family shapes: 16² bottleneck, 64² grayscale warps
+    hm16 = jnp.asarray(rs.randn(256, 4, 16, 16) * 2, jnp.float32)
+    for variant in ("joint", "marginal"):
+        check(f"softmax16[{variant}]",
+              jax.jit(lambda h: spatial_softmax(h, 1.0, variant))(hm16),
+              s_jnp(hm16, 1.0, variant), 2e-5)
+    kp16 = jnp.asarray(rs.rand(256, 4, 2) * 1.8 - 0.9, jnp.float32)
+    check("gaussian_maps16",
+          jax.jit(lambda k: gaussian_maps(k, 16, 16, 0.2))(kp16),
+          g_jnp(kp16, 16, 16, 0.2), 2e-5)
+    img64 = jnp.asarray(rs.rand(16, 1, 64, 64), jnp.float32)
+    grid64 = random_warp_grid(jax.random.PRNGKey(3), 16, 64, 64, cfg)
+    win64 = warp_y_window(cfg, 64)
+    want64 = grid_sample(img64, grid64, "border", True)
+    check("warp64 f32", jax.jit(lambda i: warp_sample(
+        i, grid64, "border", True, y_window=win64))(img64), want64, 2e-5)
+    check("warp64 bf16 packed", jax.jit(lambda i: warp_sample(
+        i, grid64, "border", True, y_window=win64))(
+        img64.astype(jnp.bfloat16)), want64, 2e-2)
+
     # 256-wide field kernel (pose256 aug path)
     img256 = jnp.asarray(rs.rand(2, 3, 256, 256), jnp.float32)
     field = random_warp_field(jax.random.PRNGKey(2), 2, cfg)
