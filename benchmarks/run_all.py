@@ -105,7 +105,9 @@ def main():
                   # pose256 at its shipped batch (memory: 256² activations)
                   bench_config("pose256", 4 if platform == "cpu" else 16,
                                iters)],
-        "extract": bench_extract(2 * batch, iters),
+        # extract saturates at b1024 (sweep 2026-08-16; bench.py matches)
+        "extract": bench_extract(1024 if platform != "cpu" else 2 * batch,
+                                 iters),
         "parity": parity_check(),
     }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
