@@ -90,6 +90,8 @@ def parity_check():
 
 
 def main():
+    from keypoints_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     args = p.parse_args()
