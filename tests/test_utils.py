@@ -63,6 +63,11 @@ def test_synthetic_eval_batch_per_dataset():
     cfg = get_config("transporter_atari").override(**{"data.image_size": 32})
     src, tgt, pos = synthetic_eval_batch(cfg, 4, key)
     assert src.shape == (4, 1, 32, 32) and pos.shape == (4, 3, 2)
+    # celeba → 4 facial landmarks on procedural faces
+    cfg = get_config("celeba128").override(**{"data.image_size": 32})
+    src, tgt, pos = synthetic_eval_batch(cfg, 4, key)
+    assert src.shape == (4, 3, 32, 32) and pos.shape == (4, 4, 2)
+    assert np.all(np.abs(pos) <= 1.0)
     # default → one dot per keypoint
     cfg = get_config("pong64").override(**{"data.image_size": 32,
                                            "data.dataset": "synthetic_dots"})
