@@ -194,219 +194,6 @@ def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
         out_ref[0, :, r, :] = out.astype(out_ref.dtype)
 
 
-def _tree_select(v, idx, n):
-    """Per-lane sublane gather as a binary select tree: v (C, n, L) with n a
-    power of two, idx (1, L) in [0, n) → (C, 1, L) holding v[:, idx[l], l].
-
-    Straight-line: log2(n) levels of static slice + ``where`` — no dynamic
-    slices, no predication (the two schedules Mosaic punished in
-    ``_warp_kernel_rowwin``)."""
-    while n > 1:
-        half = n // 2
-        top = jax.lax.slice_in_dim(v, 0, half, axis=1)
-        bot = jax.lax.slice_in_dim(v, half, n, axis=1)
-        cond = (idx & half) != 0                          # high bit first
-        v = jnp.where(cond[:, None, :], bot, top)
-        n = half
-    return v
-
-
-def _warp_kernel_tree(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
-                      align_corners, y_window):
-    """MEASURED TIE — not dispatched (``ysel="tree"`` selects it explicitly).
-
-    Packed warp with a binary-select-TREE y-select instead of the
-    mask-reduce: the x-gathered packed columns collapse to the two needed
-    source rows via two select trees (each packed f32 word holds rows
-    2r/2r+1, so the y0-word and y1-word trees cover all four bilinear
-    corners), then unpack/interp run on single rows — ~2.5× fewer VPU ops
-    on paper than the ~13-ops-per-window-element mask-reduce. Measured on
-    v5e (celeba128 shapes, 2026-08-16): **2.072 ms vs 2.055 ms** — a dead
-    heat. The mask-reduce's independent FMAs pipeline as well as the
-    tree's log2(n) serially-dependent select levels, and the shared
-    x-gathers bound both. Kept with its exactness test as the record that
-    the op-count model does not predict Mosaic VPU throughput here."""
-    _, c, hp, w = img_ref.shape
-    h = 2 * hp
-    _, rows, wo = gx_ref.shape
-    x0, x1, y0, y1, wx0, wx1, wy0, wy1, y0f = _grid_math(
-        gx_ref[0], gy_ref[0], h, w, padding_mode, align_corners)
-    data_t = jnp.float32
-    wx0 = wx0.astype(data_t)
-    wx1 = wx1.astype(data_t)
-    wy0 = wy0.astype(data_t)
-    wy1 = wy1.astype(data_t)
-
-    if y_window is not None and y_window < h:
-        win = y_window
-        start = jnp.clip(jnp.min(y0f).astype(jnp.int32), 0, h - win)
-        start = pl.multiple_of((start // 16) * 16, 16)
-    else:
-        win = h
-        start = 0
-    win_p = win // 2
-    start_p = start // 2
-    n = 1
-    while n < win_p:
-        n *= 2
-    img2 = img_ref[0, :, pl.ds(start_p, win_p), :].reshape(c * win_p, w)
-
-    def gather_tiled(idx_t):
-        acc = None
-        for ji in range(0, w, MAX_LANES):
-            ji_end = min(ji + MAX_LANES, w)
-            local = jnp.clip(idx_t - ji, 0, ji_end - ji - 1)
-            part = jnp.take_along_axis(img2[:, ji:ji_end], local, axis=1)
-            if acc is None:
-                acc = part
-                if w > MAX_LANES:
-                    acc = jnp.where(idx_t < ji_end, part,
-                                    jnp.zeros_like(part))
-            else:
-                acc = jnp.where((idx_t >= ji) & (idx_t < ji_end), part, acc)
-        return acc
-
-    pad = n - win_p
-    for r in range(rows):
-        sl = lambda a: jax.lax.slice_in_dim(a, r, r + 1, axis=0)
-        i0 = jnp.broadcast_to(sl(x0), (c * win_p, wo))
-        i1 = jnp.broadcast_to(sl(x1), (c * win_p, wo))
-        g = jnp.concatenate([gather_tiled(i0), gather_tiled(i1)], axis=0)
-        g = g.reshape(2 * c, win_p, wo)
-        if pad:
-            g = jnp.concatenate(
-                [g, jnp.zeros((2 * c, pad, wo), g.dtype)], axis=1)
-        y0r, y1r = sl(y0), sl(y1)
-        # out-of-window rows only ever carry zero wy weight (window/clip
-        # invariants, same as the mask-reduce), so clamping is safe.
-        a_idx = jnp.clip((y0r >> 1) - start_p, 0, n - 1)
-        b_idx = jnp.clip((y1r >> 1) - start_p, 0, n - 1)
-        wa = _tree_select(g, a_idx, n)                    # (2c, 1, wo)
-        wb = _tree_select(g, b_idx, n)
-        odd0 = (y0r & 1)[:, None, :] == 1
-        odd1 = (y1r & 1)[:, None, :] == 1
-        row0 = jnp.where(odd0, _unpack_odd(wa), _unpack_even(wa))
-        row1 = jnp.where(odd1, _unpack_odd(wb), _unpack_even(wb))
-        row0 = row0.reshape(2, c, wo)
-        row1 = row1.reshape(2, c, wo)
-        hx0 = row0[0] * sl(wx0) + row0[1] * sl(wx1)       # (c, wo) at y0
-        hx1 = row1[0] * sl(wx0) + row1[1] * sl(wx1)       # (c, wo) at y1
-        out = hx0 * sl(wy0) + hx1 * sl(wy1)
-        out_ref[0, :, r, :] = out.astype(out_ref.dtype)
-
-
-_CHUNK = 16  # image rows per predicated chunk (one packed f32 sublane tile)
-
-
-def _warp_kernel_rowwin(img_ref, gx_ref, gy_ref, out_ref, acc_ref, *,
-                        padding_mode, align_corners, win):
-    """MEASURED NEGATIVE — correct but 4× slower; NOT dispatched.
-
-    Packed warp with PER-ROW source windows and chunk predication: each
-    output row places its own ``win``-row window at its actual minimum
-    source row and skips 16-row chunks past its actual maximum with
-    ``pl.when`` — on paper the mask-reduce/x-interp work tracks the REAL
-    per-row spread (~15–25 rows at celeba128) instead of the block-shared
-    worst case (80). Measured on v5e (2026-08-16, profiled in a fused
-    make_pair at 128²/b128): **7.04 ms vs 1.65 ms** for the block-window
-    ``_warp_kernel``. The per-(row×chunk) dynamic ref slices materialize 6×
-    more VMEM copy volume than one per-program window, and the 32 predicated
-    regions break Mosaic's DMA/compute pipelining — the same mechanism that
-    sank round 1's simpler per-row rebuild (see ``_warp_kernel``'s in-body
-    comment). Kept in-tree with its exactness test as the record of WHY
-    per-row windowing loses; dispatch stays on the block-window kernel.
-    """
-    _, c, hp, w = img_ref.shape
-    h = 2 * hp
-    _, rows, wo = gx_ref.shape
-    x0, x1, y0, y1, wx0, wx1, wy0, wy1, y0f = _grid_math(
-        gx_ref[0], gy_ref[0], h, w, padding_mode, align_corners)
-    data_t = jnp.float32
-    y0e = y0[:, None, :]
-    y1e = y1[:, None, :]
-    wy0e = wy0[:, None, :].astype(data_t)
-    wy1e = wy1[:, None, :].astype(data_t)
-    wx0 = wx0.astype(data_t)
-    wx1 = wx1.astype(data_t)
-    cp = _CHUNK // 2                                       # packed rows/chunk
-    iota_p = jax.lax.broadcasted_iota(jnp.int32, (1, cp, 1), 1)
-
-    for r in range(rows):
-        sl = lambda a: jax.lax.slice_in_dim(a, r, r + 1, axis=0)
-        start = jnp.clip(jnp.min(sl(y0f)).astype(jnp.int32), 0, h - win)
-        start = pl.multiple_of((start // _CHUNK) * _CHUNK, _CHUNK)
-        start_p = pl.multiple_of(start // 2, cp)
-        last = jnp.max(sl(y1))                             # row's real extent
-        i0 = jnp.broadcast_to(sl(x0), (c * cp, wo))
-        i1 = jnp.broadcast_to(sl(x1), (c * cp, wo))
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-        def chunk_body(k):
-            img2 = (img_ref[0, :, pl.ds(start_p + k * cp, cp), :]
-                    .reshape(c * cp, w))
-            g0 = jnp.take_along_axis(img2, i0, axis=1)
-            g1 = jnp.take_along_axis(img2, i1, axis=1)
-            hx_e = (_unpack_even(g0) * sl(wx0)
-                    + _unpack_even(g1) * sl(wx1)).reshape(c, cp, wo)
-            hx_o = (_unpack_odd(g0) * sl(wx0)
-                    + _unpack_odd(g1) * sl(wx1)).reshape(c, cp, wo)
-            iota_h = 2 * iota_p + (start + k * _CHUNK)
-            wv_e = ((iota_h == sl(y0e)).astype(data_t) * sl(wy0e)
-                    + (iota_h == sl(y1e)).astype(data_t) * sl(wy1e))
-            wv_o = ((iota_h + 1 == sl(y0e)).astype(data_t) * sl(wy0e)
-                    + (iota_h + 1 == sl(y1e)).astype(data_t) * sl(wy1e))
-            part = jnp.sum(hx_e * wv_e + hx_o * wv_o, axis=1)  # (c, wo)
-            acc_ref[0:c, :] = acc_ref[0:c, :] + part
-
-        chunk_body(0)                    # start ≤ row min ⇒ always touched
-        for k in range(1, win // _CHUNK):
-            @pl.when(start + k * _CHUNK <= last)
-            def _(k=k):
-                chunk_body(k)
-        out_ref[0, :, r, :] = acc_ref[0:c, :].astype(out_ref.dtype)
-
-
-def warp_bilinear_rowwin(image: jnp.ndarray, grid: jnp.ndarray,
-                         padding_mode: str = "zeros",
-                         align_corners: bool = DEFAULT_ALIGN_CORNERS,
-                         y_window: int = 32,
-                         interpret: bool = False) -> jnp.ndarray:
-    """Test/bench entry for the measured-negative row-window kernel.
-
-    Requires bf16 ``image``, W,Wo ≤ 128, H a multiple of 16, C ≤ 8, and a
-    proven per-row ``y_window`` bound. See ``_warp_kernel_rowwin``.
-    """
-    b, c, h, w = image.shape
-    _, ho, wo, _ = grid.shape
-    assert image.dtype == jnp.bfloat16 and h % _CHUNK == 0 and c <= 8
-    assert w <= MAX_LANES and wo <= MAX_LANES and ho % _ROWS_PER_PROGRAM == 0
-    win = min(h, -(-(int(y_window) + 14) // _CHUNK) * _CHUNK)
-    img_in = jax.lax.bitcast_convert_type(
-        image.reshape(b, c, h // 2, 2, w).transpose(0, 1, 2, 4, 3),
-        jnp.float32)                                       # (B, C, H/2, W)
-    grid = jax.lax.stop_gradient(grid)
-    row_spec = pl.BlockSpec((1, _ROWS_PER_PROGRAM, wo),
-                            lambda bi, i: (bi, i, 0),
-                            memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_warp_kernel_rowwin, padding_mode=padding_mode,
-                          align_corners=align_corners, win=win),
-        out_shape=jax.ShapeDtypeStruct((b, c, ho, wo), image.dtype),
-        grid=(b, ho // _ROWS_PER_PROGRAM),
-        in_specs=[
-            pl.BlockSpec((1, c, h // 2, w), lambda bi, i: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            row_spec, row_spec,
-        ],
-        out_specs=pl.BlockSpec((1, c, _ROWS_PER_PROGRAM, wo),
-                               lambda bi, i: (bi, 0, i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((8, wo), jnp.float32)],
-        interpret=interpret,
-    )(img_in, grid[..., 0], grid[..., 1])
-    return jax.lax.stop_gradient(out)
-
-
 def _lane_upsample_field(field_ref, fx0, ffrac, span):
     """Lane-upsample the whole (F, F) field to (F, span), once per program.
 
@@ -603,8 +390,7 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
                          padding_mode: str = "zeros",
                          align_corners: bool = DEFAULT_ALIGN_CORNERS,
                          y_window: int | None = None,
-                         interpret: bool = False,
-                         ysel: str = "mask") -> jnp.ndarray:
+                         interpret: bool = False) -> jnp.ndarray:
     """Fused bilinear sampling: image (B,C,H,W), grid (B,Ho,Wo,2) → (B,C,Ho,Wo).
 
     Forward-only (see module docstring); W and Wo must be ≤512.
@@ -651,14 +437,9 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
     else:
         img_in = image
         img_block = (1, c, h, w)
-    if packed and ysel == "tree":
-        kern = functools.partial(_warp_kernel_tree, padding_mode=padding_mode,
-                                 align_corners=align_corners,
-                                 y_window=y_window)
-    else:
-        kern = functools.partial(_warp_kernel, padding_mode=padding_mode,
-                                 align_corners=align_corners,
-                                 y_window=y_window, packed=packed)
+    kern = functools.partial(_warp_kernel, padding_mode=padding_mode,
+                             align_corners=align_corners,
+                             y_window=y_window, packed=packed)
     # The grid is passed as separate x / y planes: a trailing dim of 2 gets a
     # T(2,128) tiled layout that forces a 2x full-grid relayout copy in front
     # of the custom call (measured 1.7 ms each at 128²/b128).

@@ -128,12 +128,19 @@ class InStepBatches:
     seed: int = 0
     start_step: int = 0
 
+    _iter_jit = None
+
     def __iter__(self):
         import itertools
         a = self.args()
-        fn = jax.jit(lambda args, i: self.sample_in_step(args, i))
+        # cache the jitted sampler on the instance: each iter() otherwise
+        # builds a fresh jax.jit wrapper — a recompile every time a caller
+        # does next(iter(src)) in a loop (as train()'s eval refresh does).
+        if self._iter_jit is None:
+            self._iter_jit = jax.jit(
+                lambda args, i: self.sample_in_step(args, i))
         for i in itertools.count(self.start_step):
-            yield fn(a, i)
+            yield self._iter_jit(a, i)
 
 
 class SyntheticBatches(InStepBatches):

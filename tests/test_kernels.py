@@ -300,43 +300,3 @@ def test_fused_bottleneck_marginal_grad():
     g1 = jax.grad(f_fused)(hm)
     g2 = jax.grad(f_oracle)(hm)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
-
-
-@pytest.mark.parametrize("padding", ["zeros", "border"])
-def test_warp_rowwin_packed_matches_oracle(padding):
-    """The measured-negative per-row windowed kernel (kept in-tree, not
-    dispatched — see _warp_kernel_rowwin) stays EXACT: agreement with
-    grid_sample to bf16 resolution."""
-    from keypoints_tpu.data.augment import (WarpConfig, random_warp_grid,
-                                            warp_y_window)
-    from keypoints_tpu.kernels.warp_pallas import warp_bilinear_rowwin
-    cfg = WarpConfig()
-    img = jnp.asarray(np.random.RandomState(21).rand(3, 3, 64, 64),
-                      jnp.float32)
-    g = random_warp_grid(jax.random.PRNGKey(21), 3, 64, 64, cfg)
-    win = warp_y_window(cfg, 64)
-    got = warp_bilinear_rowwin(img.astype(jnp.bfloat16), g, padding, True,
-                               y_window=win, interpret=True)
-    assert got.dtype == jnp.bfloat16
-    want = grid_sample(img, g, padding, True)
-    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
-                               atol=2e-2)
-
-
-@pytest.mark.parametrize("padding", ["zeros", "border"])
-def test_warp_tree_yselect_matches_oracle(padding):
-    """The select-tree y-select variant (measured tie with the mask-reduce,
-    kept in-tree — see _warp_kernel_tree) stays exact, windowed and not."""
-    from keypoints_tpu.data.augment import (WarpConfig, random_warp_grid,
-                                            warp_y_window)
-    cfg = WarpConfig()
-    img = jnp.asarray(np.random.RandomState(23).rand(3, 3, 64, 64),
-                      jnp.float32)
-    g = random_warp_grid(jax.random.PRNGKey(23), 3, 64, 64, cfg)
-    want = grid_sample(img, g, padding, True)
-    for win in (warp_y_window(cfg, 64), None):
-        got = warp_bilinear_pallas(img.astype(jnp.bfloat16), g, padding,
-                                   True, y_window=win, interpret=True,
-                                   ysel="tree")
-        np.testing.assert_allclose(np.asarray(got, np.float32),
-                                   np.asarray(want), atol=2e-2)
