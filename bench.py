@@ -9,8 +9,16 @@ Prints ONE JSON line:
   {"metric": "train_frames_per_sec_per_chip_128px", "value": N,
    "unit": "frames/sec", "vs_baseline": R}
 
-``vs_baseline`` compares against benchmarks/baseline.json (written on the
-first run; the reference publishes no numbers — BASELINE.md).
+``vs_baseline`` compares against the COMMITTED benchmarks/baseline.json —
+pinned to this project's round-start XLA-only implementation (817 fps on
+v5e, commit d4eefe0; the reference publishes no numbers — BASELINE.md), so
+the ratio measures kernel/pipeline engineering against a fixed yardstick.
+
+``extra`` carries the secondary metrics: extract throughput (with its batch
+— the number is batch-sensitive, ADVICE r2 #3), ms/step, the in-step
+augmentation share, the step-vs-documented-additive-floor ratio ([B:5]
+roofline accounting, docs/DESIGN.md), and the last on-chip kernel-parity
+result recorded by benchmarks/check_tpu_parity.py.
 """
 
 from __future__ import annotations
@@ -53,6 +61,32 @@ def bench_train(batch_size: int = 128, warmup: int = 5, iters: int = 30):
     return iters * batch_size / dt
 
 
+def bench_aug(batch_size: int = 128, warmup: int = 5, iters: int = 30):
+    """The in-step augmentation (TPS∘affine warp pair + jitter) alone, ms per
+    step — the aug share of ``bench_train``'s number (same shapes/dtypes)."""
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.data.augment import make_pair
+    from keypoints_tpu.training import warp_config
+
+    cfg = get_config("celeba128")
+    wcfg = warp_config(cfg)
+    s = cfg.data.image_size
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(batch_size, 3, s, s),
+        jnp.float32).astype(jnp.bfloat16)     # the step augments in bf16
+    pair = jax.jit(lambda k, b: make_pair(k, b, wcfg))
+    rng = jax.random.PRNGKey(2)
+    for _ in range(warmup):
+        src, tgt = pair(rng, images)
+    np.asarray(src[0, 0, 0, :2], np.float32)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        src, tgt = pair(rng, images)
+    np.asarray(src[0, 0, 0, :2], np.float32)
+    np.asarray(tgt[0, 0, 0, :2], np.float32)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def bench_extract(batch_size: int = 256, warmup: int = 5, iters: int = 30):
     from keypoints_tpu.configs import get_config
     from keypoints_tpu.training import build_model, init_state, make_extract_fn
@@ -75,6 +109,13 @@ def bench_extract(batch_size: int = 256, warmup: int = 5, iters: int = 30):
     return iters * batch_size / dt
 
 
+# The documented additive step floor at celeba128/b128 on v5e: per-component
+# HBM/MXU floors summed (docs/DESIGN.md "Roofline accounting": convs 2.1+4,
+# GN 6.5, warps ~0 output-bound, optimizer 1.5 → ≈17–19 ms; midpoint used).
+# This is THE binding [B:5] roofline statement — see BASELINE.md.
+FLOOR_MS_B128 = 18.0
+
+
 def main():
     from keypoints_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()     # warm reruns skip the multi-minute TPU compile
@@ -84,28 +125,46 @@ def main():
     train_fps = bench_train(batch_size=batch, iters=iters)
     # extract saturates at b1024 (sweep 2026-08-16: 90.6k @256 → 111.0k
     # @1024, flat at 2048) — report the throughput the chip can sustain
-    extract_ips = bench_extract(batch_size=1024 if platform != "cpu" else 32,
-                                iters=iters)
+    extract_batch = 1024 if platform != "cpu" else 32
+    extract_ips = bench_extract(batch_size=extract_batch, iters=iters)
+    aug_ms = bench_aug(batch_size=batch, iters=iters)
 
+    # vs the COMMITTED round-start baseline (817 fps XLA-only, v5e). A
+    # missing file reports 1.0 rather than silently re-pinning the yardstick.
     baseline = None
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             baseline = json.load(f).get("train_frames_per_sec_per_chip_128px")
-    else:
-        os.makedirs(os.path.dirname(BASELINE_PATH), exist_ok=True)
-        with open(BASELINE_PATH, "w") as f:
-            json.dump({"train_frames_per_sec_per_chip_128px": train_fps,
-                       "keypoint_extract_imgs_per_sec": extract_ips,
-                       "platform": platform}, f)
-
     vs = train_fps / baseline if baseline else 1.0
+
+    ms_per_step = batch / train_fps * 1e3
+    extra = {
+        "keypoint_extract_imgs_per_sec": round(extract_ips, 1),
+        "extract_batch": extract_batch,
+        "platform": platform, "batch": batch,
+        "ms_per_step": round(ms_per_step, 2),
+        "aug_ms_per_step": round(aug_ms, 2),
+        "model_ms_per_step": round(ms_per_step - aug_ms, 2),
+        "floor_ms_b128": FLOOR_MS_B128,
+        "step_vs_floor": round(ms_per_step / FLOOR_MS_B128, 3),
+    }
+    # last on-chip kernel-parity run (benchmarks/check_tpu_parity.py writes
+    # this artifact) — surfaces a stale-parity regression in every bench line
+    parity_path = os.path.join(os.path.dirname(BASELINE_PATH),
+                               "parity_tpu.json")
+    if os.path.exists(parity_path):
+        with open(parity_path) as f:
+            p = json.load(f)
+        extra["tpu_kernel_parity"] = (
+            f"{p.get('passed', '?')}/{p.get('total', '?')} "
+            f"@{p.get('git_rev', '?')[:9]}")
+
     print(json.dumps({
         "metric": "train_frames_per_sec_per_chip_128px",
         "value": round(train_fps, 1),
         "unit": "frames/sec",
         "vs_baseline": round(vs, 3),
-        "extra": {"keypoint_extract_imgs_per_sec": round(extract_ips, 1),
-                  "platform": platform, "batch": batch},
+        "extra": extra,
     }))
 
 

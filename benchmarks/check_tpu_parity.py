@@ -21,12 +21,14 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 FAILED = []
+N_CHECKS = [0]
 
 
 def check(name, got, want, atol, rtol=1e-5):
     """Pass if max|diff| ≤ atol + rtol·max|want| (gradient magnitudes vary
     by orders of magnitude with the probe cotangent, so pure-absolute
     tolerances misreport relative 1e-6 agreement as failure)."""
+    N_CHECKS[0] += 1
     got = np.asarray(got, np.float32)
     want = np.asarray(want, np.float32)
     d = float(np.abs(got - want).max())
@@ -135,10 +137,35 @@ def main():
                         "border", True)
     check("warp_field 256 wide", gotf, wantf, 1e-4)
 
+    _record(passed=N_CHECKS[0] - len(FAILED), total=N_CHECKS[0])
     if FAILED:
         print(f"\n{len(FAILED)} kernel(s) FAILED: {FAILED}", flush=True)
         sys.exit(1)
     print("\nall TPU kernels match their oracles", flush=True)
+
+
+def _record(passed: int, total: int) -> None:
+    """Persist the run so bench.py can report which rev last passed on-chip
+    (VERDICT r2 weak #7: parity runs were manual and unrecorded)."""
+    import datetime
+    import json
+    import os
+    import subprocess
+    try:
+        rev = subprocess.run(["git", "rev-parse", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))
+                             ).stdout.strip()
+    except OSError:
+        rev = "unknown"
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "parity_tpu.json")
+    with open(out, "w") as f:
+        json.dump({"passed": passed, "total": total, "failed": FAILED,
+                   "git_rev": rev or "unknown",
+                   "date": datetime.datetime.now().isoformat(
+                       timespec="seconds")}, f, indent=1)
+    print(f"recorded {passed}/{total} to {out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -49,6 +49,10 @@ class TrainConfig:
     model_kind: str = "autoencoder"   # autoencoder | transporter
     loss: str = "l2"                  # l2 | perceptual
     perceptual_layers: Tuple[str, ...] = ("relu1_2", "relu2_2", "relu3_3")
+    # torch VGG-16 state dict (torchvision layout) for the perceptual trunk;
+    # "" falls back to {data.data_dir}/vgg16.pth when that file exists, else
+    # fixed random init (offline-runnable). See models/vgg.py.
+    vgg_ckpt: str = ""
     batch_size: int = 32
     steps: int = 10_000
     lr: float = 1e-3

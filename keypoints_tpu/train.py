@@ -193,8 +193,19 @@ def make_loss(cfg: Config):
         # Parity tests pin the f32 path (models/vgg.py default dtype=None).
         dtype = (jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16"
                  else None)
+        # Pretrained weights: train.vgg_ckpt explicitly, else the
+        # conventional {data_dir}/vgg16.pth drop-in (a torchvision
+        # ``vgg16(weights=...).state_dict()`` saved with torch.save), else
+        # fixed random init so everything still runs offline [B:10].
+        ckpt = cfg.train.vgg_ckpt or None
+        if ckpt is None:
+            default = os.path.join(cfg.data.data_dir, "vgg16.pth")
+            if os.path.exists(default):
+                ckpt = default
+        if ckpt:
+            print(f"perceptual loss: VGG weights from {ckpt}", flush=True)
         feat = make_feature_fn(layers=cfg.train.perceptual_layers,
-                               dtype=dtype)
+                               torch_ckpt=ckpt, dtype=dtype)
         return make_perceptual_loss(feat, cfg.train.perceptual_layers)
     return None  # default L2
 
