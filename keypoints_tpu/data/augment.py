@@ -160,3 +160,39 @@ def make_pair(key: jax.Array, image: jnp.ndarray,
         out.append(color_jitter(kc, warped, cfg.brightness, cfg.contrast,
                                 cfg.saturation))
     return out[0], out[1]
+
+
+def make_pair_with_positions(key: jax.Array, image: jnp.ndarray,
+                             positions: jnp.ndarray,
+                             cfg: WarpConfig = WarpConfig(),
+                             align_corners: bool = DEFAULT_ALIGN_CORNERS
+                             ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``make_pair`` that also carries ground-truth landmarks into the target.
+
+    → (source, target, target_positions): the same independently-warped
+    (src, tgt) distribution the warp-mode train step sees, plus
+    ``positions`` (B, K, 2 normalized (x, y) in ``image``) mapped to where
+    they land in the WARPED target via fixed-point inversion of the target's
+    backward warp field (ops.warp.invert_warp_at). Eval sets built with this
+    measure locking on the exact distribution the model trains on
+    (SURVEY §3.5; VERDICT r2 missing — identity eval pairs were easier than
+    the training task). Requires the coarse-field path (``cfg.field_res``
+    set, the shipped configuration).
+    """
+    from keypoints_tpu.ops.warp import invert_warp_at
+    b, _, h, w = image.shape
+    if not (cfg.field_res and cfg.field_res < min(h, w)):
+        raise ValueError("make_pair_with_positions needs the coarse-field "
+                         "warp path (cfg.field_res < image size)")
+    ks, kt, kc_s, kc_t = jax.random.split(key, 4)
+    win = warp_y_window(cfg, h)
+    out = []
+    for kw, kc in ((ks, kc_s), (kt, kc_t)):
+        field = random_warp_field(kw, b, cfg, align_corners)
+        warped = warp_sample_field(image, field, h, w, padding_mode="border",
+                                   align_corners=align_corners, y_window=win)
+        out.append(color_jitter(kc, warped, cfg.brightness, cfg.contrast,
+                                cfg.saturation))
+        tgt_field = field                      # last iteration = target warp
+    tgt_positions = invert_warp_at(tgt_field, positions.astype(jnp.float32))
+    return out[0], out[1], tgt_positions

@@ -56,8 +56,30 @@ def synthetic_eval_batch(cfg: Config, batch: int, key: jax.Array):
     * ``*pong*``/``atari`` — scripted Pong, (ball, paddle, paddle);
     * ``celeba``      — procedural faces, (eye_l, eye_r, nose, mouth);
     * everything else — colored moving dots at the model's keypoint count.
+
+    For warp-mode datasets (celeba, pose) the pair is built with the SAME
+    independently-warped distribution the train step uses — NOT identity
+    (frames, frames) pairs, which made eval_loss easier than the training
+    objective (VERDICT r2 weak #4) — and the ground-truth landmarks are
+    carried through the target warp (augment.make_pair_with_positions), so
+    locking stays exact.
     """
     d = cfg.data
+
+    def warp_pair(frames, marks):
+        from keypoints_tpu.training import warp_config
+        wcfg = warp_config(cfg)
+        if d.pair_mode != "warp" or not (
+                wcfg.field_res and wcfg.field_res < d.image_size):
+            # temporal mode, or image too small for the coarse-field warp
+            # (test-size shrunken configs): identity pair
+            return frames, frames, np.asarray(marks)
+        from keypoints_tpu.data.augment import make_pair_with_positions
+        src, tgt, marks_t = jax.jit(
+            lambda k, f, m: make_pair_with_positions(k, f, m, wcfg))(
+            jax.random.fold_in(key, 1), frames, jnp.asarray(marks))
+        return src, tgt, np.asarray(marks_t)
+
     if d.dataset == "pose":
         from keypoints_tpu.data.pose import (_render_episode,
                                              generate_episode,
@@ -65,7 +87,7 @@ def synthetic_eval_batch(cfg: Config, batch: int, key: jax.Array):
         rng = np.random.RandomState(int(jax.random.randint(key, (), 0, 1 << 30)))
         segs = generate_episode(batch, rng)
         frames = jnp.asarray(_render_episode(segs, d.image_size))
-        return frames, frames, joint_positions(segs)
+        return warp_pair(frames, joint_positions(segs))
     if d.dataset in ("synthetic_pong", "atari"):
         from keypoints_tpu.data.synthetic import scripted_pong_pair
         f1, f2, state = scripted_pong_pair(key, batch, d.image_size)
@@ -75,8 +97,7 @@ def synthetic_eval_batch(cfg: Config, batch: int, key: jax.Array):
         rng = np.random.RandomState(
             int(jax.random.randint(key, (), 0, 1 << 30)))
         imgs, marks = render_faces(batch, d.image_size, rng)
-        frames = jnp.asarray(imgs)
-        return frames, frames, marks
+        return warp_pair(jnp.asarray(imgs), marks)
     from keypoints_tpu.data.synthetic import moving_dots_pair
     src, tgt, pos = moving_dots_pair(key, batch, d.image_size,
                                      num_dots=cfg.model.num_keypoints,

@@ -315,3 +315,74 @@ def test_ale_probe_false_when_make_fails(monkeypatch):
     fake.make = _raise
     monkeypatch.setitem(sys.modules, "gymnasium", fake)
     assert not _ale_available("ALE/Pong-v5")
+
+
+# --- warp inversion / honest eval pairs (VERDICT r2 #7) ---------------------
+
+def test_eval_field_at_matches_upsample():
+    from keypoints_tpu.coords import coord_grid
+    from keypoints_tpu.ops.warp import eval_field_at, upsample_field_aligned
+    rs = np.random.RandomState(11)
+    field = jnp.asarray(rs.randn(2, 9, 9, 2) * 0.1, jnp.float32)
+    dense = upsample_field_aligned(field, 16, 16)            # (B, 16, 16, 2)
+    pts = coord_grid(16, 16, align_corners=True).reshape(1, -1, 2)
+    pts = jnp.broadcast_to(pts, (2, 256, 2))
+    got = eval_field_at(field, pts).reshape(2, 16, 16, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dense), atol=1e-6)
+
+
+def test_invert_warp_at_round_trip():
+    from keypoints_tpu.data.augment import WarpConfig, random_warp_field
+    from keypoints_tpu.ops.warp import eval_field_at, invert_warp_at
+    cfg = WarpConfig()
+    field = random_warp_field(jax.random.PRNGKey(5), 3, cfg)
+    q = jnp.asarray(np.random.RandomState(6).rand(3, 7, 2) * 1.2 - 0.6,
+                    jnp.float32)
+    p = invert_warp_at(field, q)
+    # W(p) == q to fixed-point tolerance
+    np.testing.assert_allclose(np.asarray(eval_field_at(field, p)),
+                               np.asarray(q), atol=1e-5)
+
+
+def test_make_pair_with_positions_tracks_blob():
+    """A bright Gaussian blob placed at q must appear at the mapped position
+    in the warped TARGET: centroid of the warped blob ≈ tgt_positions."""
+    from keypoints_tpu.coords import coord_grid
+    from keypoints_tpu.data.augment import (WarpConfig,
+                                            make_pair_with_positions)
+    cfg = WarpConfig(brightness=0.0, contrast=0.0, saturation=0.0)
+    h = w = 64
+    q = jnp.asarray([[[0.2, -0.3]], [[-0.4, 0.1]]], jnp.float32)  # (2, 1, 2)
+    g = coord_grid(h, w, align_corners=True)                      # (H, W, 2)
+    blob = jnp.exp(-jnp.sum((g[None, None] - q[:, :, None, None]) ** 2,
+                            -1) / (2 * 0.05 ** 2))                # (2, 1, H, W)
+    img = jnp.broadcast_to(blob, (2, 1, h, w))
+    src, tgt, pos_t = jax.jit(
+        lambda k, f, m: make_pair_with_positions(k, f, m, cfg))(
+        jax.random.PRNGKey(9), img, q)
+    tgt = np.asarray(tgt)[:, 0]
+    # intensity centroid of the warped blob
+    gg = np.asarray(g)
+    mass = tgt.reshape(2, -1)
+    mass = mass / mass.sum(axis=1, keepdims=True)
+    cx = (mass * gg[..., 0].reshape(-1)).sum(axis=1)
+    cy = (mass * gg[..., 1].reshape(-1)).sum(axis=1)
+    got = np.stack([cx, cy], axis=-1)                             # (2, 2)
+    want = np.asarray(pos_t)[:, 0]
+    assert np.abs(got - want).max() < 0.05, (got, want)
+    # and the pair really is warped: src differs from tgt
+    assert float(np.abs(np.asarray(src) - np.asarray(tgt)).max()) > 0.05
+
+
+def test_synthetic_eval_batch_warp_mode_pairs():
+    """celeba/pose eval batches are warped (src != tgt != raw) with landmarks
+    carried through the target warp — the honest-eval fix."""
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.eval import synthetic_eval_batch
+    cfg = get_config("celeba128").override(**{"data.image_size": 64})
+    src, tgt, pos = synthetic_eval_batch(cfg, 2, jax.random.PRNGKey(4))
+    assert src.shape == tgt.shape == (2, 3, 64, 64)
+    assert pos.shape == (2, 4, 2)
+    assert float(jnp.abs(src - tgt).max()) > 0.05       # independently warped
+    # warped landmarks stay near the face region (mild warps)
+    assert np.all(np.abs(pos) <= 1.2)
