@@ -52,6 +52,26 @@ _HBM_BY_KIND = (
 )
 
 
+def device_hbm_bytes() -> Optional[int]:
+    """Total HBM of device 0: live ``memory_stats`` limit when the backend
+    reports one, else the device kind's known size, else None (unknown
+    backend — CPU/GPU/emulators)."""
+    try:
+        dev = jax.devices()[0]
+        stats = dev.memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get(
+            "bytes_reservable_limit")
+        if limit:
+            return int(limit)
+        kind = getattr(dev, "device_kind", "") or ""
+        for prefix, hbm in _HBM_BY_KIND:
+            if kind.startswith(prefix):
+                return hbm
+    except Exception:
+        pass
+    return None
+
+
 def device_memory_budget(headroom_bytes: int = HEADROOM_BYTES) -> int:
     """Bytes of HBM a resident dataset may use: free memory minus headroom.
 
@@ -59,19 +79,24 @@ def device_memory_budget(headroom_bytes: int = HEADROOM_BYTES) -> int:
     report ``bytes_limit``/``bytes_in_use``); falls back to the device
     kind's known HBM size (minus headroom), and finally to the
     conservative ``DEFAULT_BUDGET_BYTES`` on unknown backends (CPU/GPU).
+
+    This sizes the STORE only; the step/eval programs' peak memory is
+    checked separately by ``train()``'s compile-time preflight
+    (``train._preflight_hbm`` asks XLA's buffer assignment for the real
+    peak — the b64 pose256 lesson: a store that fits is not a loop that
+    fits).
     """
     try:
         dev = jax.devices()[0]
         stats = dev.memory_stats() or {}
-        limit = stats.get("bytes_limit") or stats.get(
-            "bytes_reservable_limit")
-        if limit:
+        if stats.get("bytes_limit") or stats.get("bytes_reservable_limit"):
+            limit = stats.get("bytes_limit") or stats.get(
+                "bytes_reservable_limit")
             free = int(limit) - int(stats.get("bytes_in_use", 0))
             return max(0, free - headroom_bytes)
-        kind = getattr(dev, "device_kind", "") or ""
-        for prefix, hbm in _HBM_BY_KIND:
-            if kind.startswith(prefix):
-                return max(0, hbm - headroom_bytes)
+        hbm = device_hbm_bytes()
+        if hbm:
+            return max(0, hbm - headroom_bytes)
     except Exception:
         pass
     return DEFAULT_BUDGET_BYTES

@@ -68,3 +68,66 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, tx=None,
         check_vma=False,
     )
     return jax.jit(shard_fn, donate_argnums=(0,))
+
+
+def make_dp_fused_chunk(cfg: Config, mesh: Mesh, sampler,
+                        loss: Optional[Callable] = None,
+                        tx=None) -> Callable:
+    """The fused chunked train loop, DP edition (VERDICT r2 missing #2).
+
+    → fn(state, args, rng, n): runs ``n`` train steps in ONE dispatch — a
+    ``lax.scan`` *inside* ``shard_map``, with each device drawing its own
+    ``batch/n_dev`` sub-batch from ``sampler`` per step (per-shard key =
+    fold_in(step key, axis index)), so neither batches nor the step counter
+    ever cross a dispatch or host boundary. This is the exact DP analog of
+    ``train.py``'s single-device chunk: without it, DP paid per-step host
+    dispatch + ``shard_batch`` H2D — ~21 ms/step through the axon tunnel.
+
+    ``sampler`` is a ``train.InStepBatches``; ``args`` its device arrays,
+    placed REPLICATED on the mesh (each chip holds the store in its own HBM
+    and gathers locally — no cross-chip traffic in the input path; the only
+    collective in the step remains the gradient pmean over ICI).
+
+    The returned fn caches one jitted program per distinct ``n`` (the loop
+    uses a fixed chunk plus at most one tail size).
+    """
+    import functools
+
+    model = build_model(cfg)
+    inner = make_train_step(cfg, model, tx, loss, axis_name=DATA_AXIS)
+    n_dev = mesh.devices.size
+    b = cfg.train.batch_size
+    if b % n_dev:
+        raise ValueError(f"batch {b} not divisible by {n_dev} devices")
+    shard_b = b // n_dev
+
+    def chunk_body(state, args, rng, nsteps):
+        rng = shard_rng(rng)     # decorrelate warp-mode aug across shards,
+                                 # exactly like make_dp_train_step's per-step
+                                 # path (inner folds in state.step itself)
+        def body(st, _):
+            key = shard_rng(sampler.step_key(st.step))
+            batch = sampler.sample(args, key, shard_b)
+            return inner(st, batch, rng)
+        st, ms = jax.lax.scan(body, state, None, length=nsteps)
+        return st, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    @functools.lru_cache(maxsize=None)
+    def compiled(nsteps: int):
+        fn = jax.shard_map(
+            lambda state, args, rng: chunk_body(state, args, rng, nsteps),
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn, donate_argnums=(0,))
+
+    def run(state, args, rng, n):
+        return compiled(int(n))(state, args, rng)
+
+    # expose AOT lowering so train()'s HBM preflight can ask XLA's buffer
+    # assignment for the chunk program's true peak before the first step
+    run.lower = lambda state, args, rng, n: compiled(int(n)).lower(
+        state, args, rng)
+    return run

@@ -155,8 +155,93 @@ def test_train_cli_data_parallel(tmp_path, monkeypatch, capsys):
         "model.decoder_filters=(16,8)", "model.decoder_upsample=(True,True)",
         "model.groups=4", "data.image_size=32", "train.batch_size=16",
         "train.compute_dtype=float32", "train.log_every=2",
-        "train.eval_every=100", "train.checkpoint_every=100",
+        "train.eval_every=2", "train.checkpoint_every=100",
         "train.data_parallel=True", "data.dataset=synthetic_dots"])
     out = capsys.readouterr().out
     assert "step      4" in out
     assert "data_parallel off" not in out
+
+
+def test_dp_fused_chunk_device_resident(tmp_path):
+    """The DP fused chunk over a device-RESIDENT store: frames replicated on
+    the mesh, per-shard in-step gather, temporal pairs."""
+    import jax
+    import jax.numpy as jnp
+
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.data.device import DeviceDataset
+    from keypoints_tpu.data.records import FrameStore
+    from keypoints_tpu.parallel import (data_parallel_mesh,
+                                        make_dp_fused_chunk, replicate)
+    from keypoints_tpu.train import DeviceResidentBatches
+    from keypoints_tpu.training import init_state
+
+    cfg = get_config("pong64").override(**{
+        "model.encoder_filters": (8, 16), "model.encoder_strides": (2, 2),
+        "model.decoder_filters": (16, 8),
+        "model.decoder_upsample": (True, True), "model.groups": 4,
+        "data.image_size": 32, "train.batch_size": 16,
+        "train.compute_dtype": "float32"})
+    frames = (np.random.RandomState(0).rand(24, 1, 32, 32) * 255).astype(
+        np.uint8)
+    pairs = np.stack([np.arange(23), np.arange(1, 24)], axis=1)
+    path = str(tmp_path / "store.npy")
+    FrameStore.write(path, frames, pairs)
+    ds = DeviceDataset(FrameStore(path))
+    smp = DeviceResidentBatches(ds, 16, "temporal", 0, 0)
+
+    mesh = data_parallel_mesh()
+    state = replicate(mesh, init_state(cfg, jax.random.PRNGKey(0)))
+    fused = make_dp_fused_chunk(cfg, mesh, smp)
+    args = replicate(mesh, smp.args())
+    state, m = fused(state, args, jax.random.PRNGKey(1), 3)
+    assert np.isfinite(float(np.asarray(m["loss"])))
+    assert int(np.asarray(state.step)) == 3
+
+
+def test_preflight_hbm_refuses_cleanly():
+    """The compile-time HBM preflight (pose256-b64 lesson): an impossible
+    budget raises a clean actionable error BEFORE any step runs; a generous
+    budget returns the per-phase peaks."""
+    import pytest
+
+    import jax
+    import jax.numpy as jnp
+
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.train import SyntheticBatches, preflight_hbm
+    from keypoints_tpu.training import (init_state, make_extract_fn,
+                                        make_train_step, build_model)
+
+    cfg = get_config("pong64").override(**{
+        "model.encoder_filters": (8, 16), "model.encoder_strides": (2, 2),
+        "model.decoder_filters": (16, 8),
+        "model.decoder_upsample": (True, True), "model.groups": 4,
+        "data.image_size": 32, "data.pair_mode": "warp",
+        "train.batch_size": 8, "train.compute_dtype": "float32"})
+    model = build_model(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    base_step = make_train_step(cfg, model)
+
+    def mk(k, n):
+        return jax.random.uniform(k, (n, 1, 32, 32), jnp.float32)
+
+    smp = SyntheticBatches(mk, 8, 0, 0)
+
+    def run_chunk(state, args, rng, n):
+        def body(st, _):
+            return base_step(st, smp.sample_in_step(args, st.step), rng)
+        st, ms = jax.lax.scan(body, state, None, length=n)
+        return st, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    step_chunk = jax.jit(run_chunk, static_argnums=(3,))
+    extract = jax.jit(make_extract_fn(cfg, model))
+    rng = jax.random.PRNGKey(1)
+
+    info = preflight_hbm(step_chunk, state, (), rng, 2, extract,
+                         (8, 1, 32, 32), limit=1 << 40, margin=0)
+    assert info and info["step_peak"] > 0 and info["eval_peak"] > 0
+
+    with pytest.raises(ValueError, match="cannot fit the device"):
+        preflight_hbm(step_chunk, state, (), rng, 2, extract,
+                      (8, 1, 32, 32), limit=1 << 20, margin=0)

@@ -84,3 +84,114 @@ def test_dp_warp_mode_runs_with_decorrelated_rng():
     s2, m = dp(state, shard_batch(mesh, imgs), jax.random.PRNGKey(3))
     assert np.isfinite(float(m["loss"]))
     assert int(np.asarray(s2.step)) == 1
+
+
+def test_dp_fused_chunk_matches_per_step_dp():
+    """The fused in-step-sampling DP chunk (VERDICT r2 missing #2) is
+    semantically identical to per-step dispatch: chunk(n=4) == 4×chunk(n=1),
+    and one fused step == make_dp_train_step fed the hand-assembled
+    equivalent batch (per-shard key = fold_in(step key, shard index))."""
+    from keypoints_tpu.parallel import make_dp_fused_chunk
+    from keypoints_tpu.train import SyntheticBatches
+
+    cfg = _cfg().override(**{"data.pair_mode": "warp"})
+    mesh = data_parallel_mesh()
+    n_dev = len(jax.devices())
+    shard_b = cfg.train.batch_size // n_dev
+
+    def mk(k, n):
+        return jax.random.uniform(k, (n, 1, 32, 32), jnp.float32)
+
+    smp = SyntheticBatches(mk, cfg.train.batch_size, cfg.train.seed, 0)
+    rng = jax.random.PRNGKey(3)
+
+    def state0():
+        return replicate(mesh, init_state(cfg, jax.random.PRNGKey(0)))
+
+    fused = make_dp_fused_chunk(cfg, mesh, smp)
+    s_chunk, m_chunk = fused(state0(), (), rng, 4)
+
+    s_step = m_step = None
+    s_step = state0()
+    for _ in range(4):
+        s_step, m_step = fused(s_step, (), rng, 1)
+    for a, b in zip(jax.tree_util.tree_leaves(s_chunk.params),
+                    jax.tree_util.tree_leaves(s_step.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(m_chunk["loss"]), float(m_step["loss"]),
+                               rtol=1e-5)
+    assert int(np.asarray(s_chunk.step)) == 4
+
+    # one fused step == per-step DP on the equivalent host-built batch:
+    # shard i draws mk(fold_in(step_key(0), i), shard_b)
+    base = smp.step_key(0)
+    parts = [mk(jax.random.fold_in(base, i), shard_b) for i in range(n_dev)]
+    batch = jnp.concatenate(parts, axis=0)
+    dp_step = make_dp_train_step(cfg, mesh)
+    s_ref, m_ref = dp_step(state0(), shard_batch(mesh, batch), rng)
+    s_one, m_one = fused(state0(), (), rng, 1)
+    np.testing.assert_allclose(float(m_one["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_one.params),
+                    jax.tree_util.tree_leaves(s_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_dp_warp_aug_decorrelates_shards_end_to_end():
+    """VERDICT r2 #6: in the COMPOSED DP step on a constant replicated batch,
+    per-shard losses differ (each shard draws its own warp), and the DP
+    update equals the mean of the 8 manually-computed per-shard updates
+    (SGD lr=1 turns updates into raw gradients)."""
+    import optax
+    from jax.sharding import PartitionSpec as P
+
+    from keypoints_tpu.parallel.dp import shard_rng
+
+    cfg = _cfg().override(**{"data.pair_mode": "warp"})
+    mesh = data_parallel_mesh()
+    n_dev = len(jax.devices())
+    per = 16 // n_dev
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    model = build_model(cfg)
+    tx = optax.sgd(1.0)
+    rng = jax.random.PRNGKey(3)
+
+    one = jnp.array(np.random.RandomState(1).rand(per, 1, 32, 32), jnp.float32)
+    batch = jnp.tile(one, (n_dev, 1, 1, 1))   # every shard: identical images
+
+    # per-shard losses WITHOUT pmean: the only difference between shards is
+    # the fold_in(axis_index) aug rng — all 8 must differ
+    inner = make_train_step(cfg, model, tx=tx)
+
+    def per_shard(st, b, r):
+        _, m = inner(st, b, shard_rng(r))
+        return m["loss"][None]
+
+    f = jax.shard_map(per_shard, mesh=mesh,
+                      in_specs=(P(), P("data"), P()),
+                      out_specs=P("data"), check_vma=False)
+    losses = np.asarray(f(state, batch, rng))
+    assert losses.shape == (n_dev,)
+    assert len({round(float(x), 10) for x in losses}) == n_dev
+
+    # manual 8-shard gradient reference (fresh state for the donating DP
+    # step: replicate() may alias the original buffers, which donation
+    # would then delete out from under the manual loop below)
+    dp_step = make_dp_train_step(cfg, mesh, tx=tx)
+    s_dp, _ = dp_step(replicate(mesh, init_state(cfg, jax.random.PRNGKey(0))),
+                      shard_batch(mesh, batch), rng)
+    single = jax.jit(make_train_step(cfg, model, tx=tx))
+    shard_params = []
+    for i in range(n_dev):
+        s_i, _ = single(state, batch[per * i:per * (i + 1)],
+                        jax.random.fold_in(rng, i))
+        shard_params.append(s_i.params)
+    mean_params = jax.tree_util.tree_map(
+        lambda *xs: sum(np.asarray(x, np.float64) for x in xs) / n_dev,
+        *shard_params)
+    for a, b in zip(jax.tree_util.tree_leaves(s_dp.params),
+                    jax.tree_util.tree_leaves(mean_params)):
+        np.testing.assert_allclose(np.asarray(a, np.float64), b,
+                                   rtol=1e-5, atol=1e-6)
