@@ -35,7 +35,12 @@ BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "baseline.json")
 
 
-def bench_train(batch_size: int = 128, warmup: int = 5, iters: int = 30):
+def bench_train(batch_size: int = 128, warmup: int = 5, iters: int = 30,
+                chunk: int = 1):
+    """Train-step throughput. ``chunk`` > 1 scans that many steps per
+    dispatch — the SAME dispatch pattern as the shipped train() loop (which
+    runs a lax.scan chunk of steps per host round-trip); chunk=1 is the
+    per-step-dispatch figure kept for continuity with earlier rounds."""
     from keypoints_tpu.configs import get_config
     from keypoints_tpu.training import build_model, init_state, make_train_step
 
@@ -43,22 +48,33 @@ def bench_train(batch_size: int = 128, warmup: int = 5, iters: int = 30):
         "train.batch_size": batch_size})
     model = build_model(cfg)
     state = init_state(cfg, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(cfg, model), donate_argnums=(0,))
+    base = make_train_step(cfg, model)
+
+    if chunk > 1:
+        def run(state, images, rng):
+            def body(st, _):
+                return base(st, images, rng)
+            st, ms = jax.lax.scan(body, state, None, length=chunk)
+            return st, jax.tree_util.tree_map(lambda x: x[-1], ms)
+        step = jax.jit(run, donate_argnums=(0,))
+    else:
+        step = jax.jit(base, donate_argnums=(0,))
 
     s = cfg.data.image_size
     images = jnp.asarray(
         np.random.RandomState(0).rand(batch_size, 3, s, s), jnp.float32)
     rng = jax.random.PRNGKey(1)
 
-    for _ in range(warmup):
+    for _ in range(max(warmup // chunk, 2)):
         state, m = step(state, images, rng)
     np.asarray(m["loss"])          # true sync: block_until_ready is a no-op
     t0 = time.perf_counter()       # through the axon tunnel (D2H fetch isn't)
-    for _ in range(iters):
+    n = max(iters // chunk, 1)
+    for _ in range(n):
         state, m = step(state, images, rng)
     np.asarray(m["loss"])
     dt = time.perf_counter() - t0
-    return iters * batch_size / dt
+    return n * chunk * batch_size / dt
 
 
 def bench_aug(batch_size: int = 128, warmup: int = 5, iters: int = 30):
@@ -122,7 +138,11 @@ def main():
     platform = jax.devices()[0].platform
     batch = 128 if platform != "cpu" else 16
     iters = 30 if platform != "cpu" else 5
-    train_fps = bench_train(batch_size=batch, iters=iters)
+    # headline: the shipped loop's dispatch pattern (train() scans a chunk
+    # of steps per host round-trip); per-step-dispatch kept in extra
+    chunk = 10 if platform != "cpu" else 1
+    train_fps = bench_train(batch_size=batch, iters=3 * iters, chunk=chunk)
+    train_fps_per_step_dispatch = bench_train(batch_size=batch, iters=iters)
     # extract saturates at b1024 (sweep 2026-08-16: 90.6k @256 → 111.0k
     # @1024, flat at 2048) — report the throughput the chip can sustain
     extract_batch = 1024 if platform != "cpu" else 32
@@ -141,7 +161,8 @@ def main():
     extra = {
         "keypoint_extract_imgs_per_sec": round(extract_ips, 1),
         "extract_batch": extract_batch,
-        "platform": platform, "batch": batch,
+        "platform": platform, "batch": batch, "scan_chunk": chunk,
+        "train_fps_per_step_dispatch": round(train_fps_per_step_dispatch, 1),
         "ms_per_step": round(ms_per_step, 2),
         "aug_ms_per_step": round(aug_ms, 2),
         "model_ms_per_step": round(ms_per_step - aug_ms, 2),

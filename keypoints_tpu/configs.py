@@ -164,8 +164,12 @@ pose256 = _register(Config(
                       decoder_upsample=(True, True, True, False)),
     data=DataConfig(dataset="pose", image_size=256, channels=3,
                     pair_mode="warp"),
+    # b64 validated round 3: full loop (step + resident store + eval) runs
+    # clean at 459 fps (b16: 372), XLA step peak 10.06/16 GiB (preflight),
+    # joint locking 0.041 @2k steps. The r2 worker-kill no longer
+    # reproduces; train() now preflights total HBM before the first step.
     train=TrainConfig(model_kind="autoencoder", loss="perceptual",
-                      batch_size=16, lr=1e-3),
+                      batch_size=64, lr=1e-3),
 ))
 
 # [B:11] Data-parallel run, fully device-side decode/augment/prefetch.

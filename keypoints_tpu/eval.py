@@ -158,10 +158,13 @@ def _cli(argv=None):
     state = TrainState(**restored)
     print(f"restored step {step}")
 
-    # evaluate on the preset's synthetic stand-in (ground truth available)
+    # evaluate on the preset's synthetic stand-in (ground truth available),
+    # scoring with the TRAINING objective (perceptual presets: VGG loss)
+    from keypoints_tpu.train import make_loss
     src, tgt, pos = synthetic_eval_batch(cfg, args.batch,
                                          jax.random.PRNGKey(7))
-    metrics = evaluate(cfg, state.params, src, tgt, true_positions=pos)
+    metrics = evaluate(cfg, state.params, src, tgt, true_positions=pos,
+                       loss=make_loss(cfg))
     for k, v in metrics.items():
         print(f"{k}: {v:.5f}")
 

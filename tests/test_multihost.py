@@ -115,6 +115,27 @@ for i in range(3):
 ck = float(sum(np.abs(np.asarray(jax.device_get(l))).sum()
                for l in jax.tree_util.tree_leaves(state.params)))
 print(f"TRAIN_OK loss={loss:.9f} ck={ck:.6f}", flush=True)
+
+# the FUSED chunked DP loop across processes: in-step per-shard sampling
+# inside shard_map over the global mesh, scan of 2 steps per dispatch —
+# the production loop path (round-3 DP-first-class), cross-process
+from keypoints_tpu.parallel import make_dp_fused_chunk
+from keypoints_tpu.train import SyntheticBatches
+
+def mk(k, n):
+    return (jax.random.uniform(k, (n, 1, 16, 16), jnp.float32),
+            jax.random.uniform(jax.random.fold_in(k, 1),
+                               (n, 1, 16, 16), jnp.float32))
+
+smp = SyntheticBatches(mk, cfg.train.batch_size, cfg.train.seed, 0)
+fused = make_dp_fused_chunk(cfg, mesh, smp)
+state2 = replicate(mesh, init_state(cfg, jax.random.PRNGKey(0)))
+state2, m2 = fused(state2, (), jax.random.PRNGKey(5), 2)
+l2 = float(np.asarray(jax.device_get(m2["loss"])))
+ck2 = float(sum(np.abs(np.asarray(jax.device_get(l))).sum()
+                for l in jax.tree_util.tree_leaves(state2.params)))
+assert int(np.asarray(jax.device_get(state2.step))) == 2
+print(f"FUSED_OK loss={l2:.9f} ck={ck2:.6f}", flush=True)
 print(f"WORKER_OK {pid}", flush=True)
 """
 
@@ -142,6 +163,10 @@ def test_two_process_psum(tmp_path):
     lines = [next(ln for ln in o.splitlines() if ln.startswith("TRAIN_OK"))
              for o in outs]
     assert lines[0] == lines[1], lines
+    # fused chunked-DP loop: same lockstep requirement across processes
+    fused = [next(ln for ln in o.splitlines() if ln.startswith("FUSED_OK"))
+             for o in outs]
+    assert fused[0] == fused[1], fused
 
 
 def _free_port() -> int:
