@@ -96,11 +96,20 @@ def make_batch_iterator(cfg: Config, start_step: int = 0) -> Iterator:
         ds = DeviceDataset(store)
         return DeviceResidentBatches(ds, b, d.pair_mode, cfg.train.seed,
                                      start_step)
+    # bigger-than-HBM: grain host streams. Under multi-host DP each process
+    # reads only its own index shard at its local batch size (SURVEY §2.4
+    # "per-host Grain sharding"); single-process runs see (0, 1) and the
+    # full batch.
+    from keypoints_tpu.parallel.multihost import host_shard, local_batch_size
+    pid, n_hosts = host_shard()
+    lb = local_batch_size(b)
     if d.pair_mode == "temporal":
-        return prefetch(pair_stream(store, b, cfg.train.seed,
+        return prefetch(pair_stream(store, lb, cfg.train.seed,
+                                    shard_index=pid, shard_count=n_hosts,
                                     start_batch=start_step,
                                     workers=d.loader_workers))
-    return prefetch(single_stream(store, b, cfg.train.seed,
+    return prefetch(single_stream(store, lb, cfg.train.seed,
+                                  shard_index=pid, shard_count=n_hosts,
                                   start_batch=start_step,
                                   workers=d.loader_workers))
 

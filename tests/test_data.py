@@ -386,3 +386,56 @@ def test_synthetic_eval_batch_warp_mode_pairs():
     assert float(jnp.abs(src - tgt).max()) > 0.05       # independently warped
     # warped landmarks stay near the face region (mild warps)
     assert np.all(np.abs(pos) <= 1.2)
+
+
+def test_stream_sharding_multi_host():
+    """Grain streams partition the dataset across host shards (disjoint
+    indices), and make_batch_iterator wires host_shard()/local_batch_size
+    in automatically for the streaming path."""
+    import tempfile
+
+    from keypoints_tpu.data.records import FrameStore, single_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        # frame i is constant-valued i → recover sampled indices from pixels
+        frames = np.stack([np.full((1, 8, 8), i, np.uint8)
+                           for i in range(32)])
+        path = f"{d}/celeba_8.npy"
+        FrameStore.write(path, frames)
+        store = FrameStore(path)
+
+        seen = []
+        for shard in (0, 1):
+            s = single_stream(store, 8, seed=0, shard_index=shard,
+                              shard_count=2)
+            ids = set()
+            for _ in range(8):
+                batch = np.asarray(next(s))              # (8,1,8,8) in [0,1]
+                ids.update(np.round(batch[:, 0, 0, 0] * 255).astype(int))
+            seen.append(ids)
+        assert seen[0] and seen[1]
+        assert not (seen[0] & seen[1])                   # disjoint shards
+        assert (seen[0] | seen[1]) == set(range(32))     # full coverage
+
+        # make_batch_iterator passes the shard + local batch automatically
+        import jax
+
+        from keypoints_tpu.configs import get_config
+        from keypoints_tpu.data import device as device_mod
+        from keypoints_tpu import train as train_mod
+
+        cfg = get_config("celeba128").override(**{
+            "data.data_dir": d, "data.image_size": 8,
+            "train.batch_size": 8})
+        orig_fits = device_mod.fits_in_memory
+        orig_count, orig_index = jax.process_count, jax.process_index
+        try:
+            device_mod.fits_in_memory = lambda *a, **k: False
+            jax.process_count = lambda: 2
+            jax.process_index = lambda: 1
+            it = train_mod.make_batch_iterator(cfg)
+            batch = np.asarray(next(it))
+            assert batch.shape == (4, 1, 8, 8) or batch.shape == (4, 3, 8, 8)
+        finally:
+            device_mod.fits_in_memory = orig_fits
+            jax.process_count, jax.process_index = orig_count, orig_index
