@@ -245,3 +245,38 @@ def test_preflight_hbm_refuses_cleanly():
     with pytest.raises(ValueError, match="cannot fit the device"):
         preflight_hbm(step_chunk, state, (), rng, 2, extract,
                       (8, 1, 32, 32), limit=1 << 20, margin=0)
+
+
+def test_dp_resume_is_bit_exact(tmp_path, monkeypatch):
+    """DP fused-loop resume: train(6) == train(3)+resume(3) on the 8-device
+    mesh — the step rng, per-shard sampling keys, and data stream are all
+    pure functions of (seed, step), so the property must survive shard_map
+    chunking too."""
+    import jax
+
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.train import train
+
+    assert len(jax.devices()) == 8
+    monkeypatch.chdir(tmp_path)
+
+    def cfg(name, steps):
+        return get_config("pong64").override(**{
+            "name": name,
+            "model.encoder_filters": (8, 16), "model.encoder_strides": (2, 2),
+            "model.decoder_filters": (16, 8),
+            "model.decoder_upsample": (True, True), "model.groups": 4,
+            "data.image_size": 32, "data.dataset": "synthetic_dots",
+            "data.pair_mode": "warp",
+            "train.batch_size": 16, "train.compute_dtype": "float32",
+            "train.steps": steps, "train.log_every": 3,
+            "train.eval_every": 100, "train.checkpoint_every": 3,
+            "train.data_parallel": True,
+        })
+
+    s_full = train(cfg("dp_full", 6))
+    train(cfg("dp_split", 3))
+    s_resumed = train(cfg("dp_split", 6))
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                    jax.tree_util.tree_leaves(s_resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
