@@ -166,8 +166,10 @@ pose256 = _register(Config(
                     pair_mode="warp"),
     # b64 validated round 3: full loop (step + resident store + eval) runs
     # clean at 459 fps (b16: 372), XLA step peak 10.06/16 GiB (preflight),
-    # joint locking 0.041 @2k steps. The r2 worker-kill no longer
-    # reproduces; train() now preflights total HBM before the first step.
+    # joint locking 0.041 @2k steps. The r2 worker-kill was root-caused to
+    # LONG SINGLE DISPATCHES (a ~70 s scan chunk trips the worker's
+    # execution deadline), fixed by train()'s chunk cap; HBM is also
+    # preflighted before the first step. See BASELINE.md.
     train=TrainConfig(model_kind="autoencoder", loss="perceptual",
                       batch_size=64, lr=1e-3),
 ))

@@ -215,6 +215,22 @@ class DeviceResidentBatches(InStepBatches):
 #: HBM kept free for runtime/framework overhead beyond XLA's own accounting
 PREFLIGHT_MARGIN_BYTES = 512 << 20
 
+#: max train steps fused into one lax.scan dispatch — see train() in-line
+#: comment (long single dispatches kill the remote TPU worker)
+MAX_CHUNK_STEPS = 100
+
+
+def capped_chunk(cadence_gcd: int, cap: int = MAX_CHUNK_STEPS) -> int:
+    """Largest divisor of ``cadence_gcd`` that is ≤ ``cap``: the scan-chunk
+    length must divide the log/eval/checkpoint cadence gcd so host-side
+    actions land exactly on their steps, while staying short enough that a
+    single device dispatch cannot trip the remote worker's execution
+    deadline (measured: ~70 s dispatches kill the v5e worker; ≤14 s are
+    clean — see BASELINE.md pose256-b64)."""
+    if cadence_gcd <= cap:
+        return cadence_gcd
+    return max(d for d in range(1, cap + 1) if cadence_gcd % d == 0)
+
 
 def _tree_bytes(tree) -> int:
     return sum(x.nbytes for x in jax.tree_util.tree_leaves(tree)
@@ -354,8 +370,15 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
     if fused_src:
         import math
         smp = batches
-        chunk = math.gcd(math.gcd(t.log_every, t.eval_every),
-                         t.checkpoint_every)
+        # Cap the steps per dispatch: a single device execution that runs
+        # for minutes trips the remote worker's execution deadline and
+        # KILLS it (measured on v5e/axon: pose256-b64 at 139 ms/step —
+        # 100-step chunks = 14 s dispatches run clean for thousands of
+        # steps; one 500-step chunk = ~70 s dispatch crashes the worker on
+        # the first dispatch, reproducibly). 100 steps also already fully
+        # amortizes the ~tens-of-ms host round-trip.
+        chunk = capped_chunk(math.gcd(math.gcd(t.log_every, t.eval_every),
+                                      t.checkpoint_every))
         if dp:
             step_chunk = make_dp_fused_chunk(cfg, mesh, smp, loss=loss)
             src_args = replicate(mesh, smp.args())

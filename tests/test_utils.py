@@ -159,3 +159,16 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
         assert enable_compile_cache().endswith("c2")
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_capped_chunk_divides_cadence():
+    from keypoints_tpu.train import capped_chunk
+    assert capped_chunk(50) == 50
+    assert capped_chunk(100) == 100
+    assert capped_chunk(500) == 100      # the pose256-b64 crash config
+    assert capped_chunk(600) == 100
+    assert capped_chunk(303) == 3        # 3*101: largest divisor <= 100
+    assert capped_chunk(997) == 1        # prime > cap -> per-step dispatch
+    for g in (500, 600, 303, 997, 120, 7):
+        c = capped_chunk(g)
+        assert 1 <= c <= 100 and g % c == 0
