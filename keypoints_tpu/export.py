@@ -1,0 +1,137 @@
+"""AOT export of the inference path: a self-contained keypoint extractor.
+
+The deployment story for the extract path (SURVEY §2.1 "Keypoint
+extraction", §3.3): serialize the jitted ``Ψ → spatial softmax`` program —
+with the trained parameters baked in as constants — to a portable
+StableHLO artifact via ``jax.export``. The artifact needs only jaxlib to
+run (no model code, no flax, no checkpoint plumbing), loads in
+milliseconds, and is the unit you hand a serving fleet.
+
+    # export (trainer side)
+    python -m keypoints_tpu.export --preset celeba128 \
+        --checkpoint checkpoints/celeba128 --batch 256 --out extract.shlo
+
+    # serve (consumer side)
+    from keypoints_tpu.export import load_extract
+    extract = load_extract("extract.shlo")
+    kp = extract(images)            # (B, C, H, W) f32 [0,1] -> (B, K, 2)
+
+Exports are shape-specialized (one batch size per artifact — TPU-native:
+static shapes keep the program on XLA's fast path); export several batch
+sizes if the server needs buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from keypoints_tpu.configs import Config
+
+
+def export_extract(cfg: Config, params, batch: int,
+                   platforms: Sequence[str] | None = None) -> bytes:
+    """→ serialized StableHLO artifact of ``extract_keypoints`` at ``batch``.
+
+    ``params`` are baked into the program as constants (self-contained
+    artifact). ``platforms`` defaults to the current backend; pass e.g.
+    ``("tpu", "cpu")`` to emit a multi-platform artifact.
+    """
+    from jax import export as jexport
+
+    from keypoints_tpu.training import build_model, make_extract_fn
+
+    model = build_model(cfg)
+    extract = make_extract_fn(cfg, model)
+
+    def fn(images):
+        return extract(params, images)
+
+    d = cfg.data
+    spec = jax.ShapeDtypeStruct((batch, d.channels, d.image_size,
+                                 d.image_size), jnp.float32)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exp = jexport.export(jax.jit(fn), **kwargs)(spec)
+    return exp.serialize()
+
+
+def load_extract(path_or_bytes) -> Callable:
+    """Deserialize an exported extractor → fn(images) -> (B, K, 2).
+
+    The returned callable is jit-compatible and runs on whatever platform
+    the artifact was exported for.
+    """
+    from jax import export as jexport
+
+    data = path_or_bytes
+    if isinstance(data, str):
+        with open(data, "rb") as f:
+            data = f.read()
+    exp = jexport.deserialize(bytearray(data))
+    return lambda images: exp.call(images)
+
+
+def _cli(argv=None):
+    import argparse
+
+    from keypoints_tpu import checkpoint as ckpt
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.training import TrainState, init_state
+    from keypoints_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    p = argparse.ArgumentParser(
+        description="export the keypoint extractor as a StableHLO artifact")
+    p.add_argument("--preset", required=True)
+    p.add_argument("--checkpoint", default=None,
+                   help="Orbax checkpoint dir (trainer layout); "
+                        "omit for random-init params (smoke exports)")
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--out", required=True)
+    p.add_argument("--platforms", nargs="*", default=None,
+                   help="e.g. --platforms tpu cpu (default: current backend)")
+    p.add_argument("--override", nargs="*", default=[])
+    args = p.parse_args(argv)
+
+    cfg = get_config(args.preset)
+    for item in args.override:
+        k, v = item.split("=", 1)
+        import ast
+        try:
+            v = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass
+        cfg = cfg.override(**{k: v})
+
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    if args.checkpoint:
+        mgr = ckpt.make_manager(args.checkpoint)
+        step, restored = ckpt.restore_latest(mgr, state._asdict())
+        if step is None:
+            raise SystemExit(f"no checkpoint found in {args.checkpoint}")
+        state = TrainState(**restored)
+        print(f"exporting params from step {step}")
+
+    data = export_extract(cfg, state.params, args.batch,
+                          platforms=args.platforms)
+    with open(args.out, "wb") as f:
+        f.write(data)
+    print(f"wrote {len(data) / 1e6:.2f} MB artifact to {args.out} "
+          f"(batch {args.batch}, {cfg.data.image_size}px)")
+
+    # sanity: reload and run one batch
+    extract = load_extract(args.out)
+    imgs = jnp.zeros((args.batch, cfg.data.channels, cfg.data.image_size,
+                      cfg.data.image_size), jnp.float32)
+    kp = np.asarray(extract(imgs))
+    print(f"reload OK: output {kp.shape}")
+
+
+if __name__ == "__main__":
+    _cli()

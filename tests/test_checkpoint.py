@@ -118,3 +118,36 @@ def test_convert_cli(tmp_path):
     want = jax.tree_util.tree_leaves(params)
     for a, b in zip(got, want):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_extract_roundtrip(tmp_path):
+    """AOT serving artifact: export the extractor with params baked in,
+    reload from bytes on disk, and match the live model's keypoints."""
+    import jax
+    import jax.numpy as jnp
+
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.export import export_extract, load_extract
+    from keypoints_tpu.training import (build_model, init_state,
+                                        make_extract_fn)
+
+    cfg = get_config("pong64").override(**{
+        "model.encoder_filters": (8, 16), "model.encoder_strides": (2, 2),
+        "model.decoder_filters": (16, 8),
+        "model.decoder_upsample": (True, True), "model.groups": 4,
+        "data.image_size": 32, "train.compute_dtype": "float32"})
+    state = init_state(cfg, jax.random.PRNGKey(0))
+
+    data = export_extract(cfg, state.params, batch=4)
+    path = tmp_path / "extract.shlo"
+    path.write_bytes(data)
+
+    extract = load_extract(str(path))
+    imgs = jnp.asarray(np.random.RandomState(3).rand(4, 1, 32, 32),
+                       jnp.float32)
+    got = np.asarray(extract(imgs))
+    model = build_model(cfg)
+    want = np.asarray(jax.jit(make_extract_fn(cfg, model))(state.params,
+                                                           imgs))
+    assert got.shape == (4, cfg.model.num_keypoints, 2)
+    np.testing.assert_allclose(got, want, atol=1e-6)
