@@ -420,17 +420,33 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
     step = int(np.asarray(state.step))
     last_t, last_step = time.time(), step
 
-    while step < t.steps:
+    def advance(state, step):
         if fused_src:
             n = min(chunk, t.steps - step)
             state, metrics = step_chunk(state, src_args, rng, n)
-            step += n
-        else:
-            batch = put(next(batch_iter))
-            if eval_batch is None:
-                eval_batch = batch
-            state, metrics = step_fn(state, batch, rng)
-            step += 1
+            return state, metrics, step + n
+        nonlocal eval_batch
+        batch = put(next(batch_iter))
+        if eval_batch is None:
+            eval_batch = batch
+        state, metrics = step_fn(state, batch, rng)
+        return state, metrics, step + 1
+
+    while step < t.steps:
+        try:
+            state, metrics, step = advance(state, step)
+        except jax.errors.JaxRuntimeError as e:
+            # the device runtime died mid-run (worker crash/restart —
+            # SURVEY §5 failure detection): point at the recovery path
+            # instead of a bare backend traceback.
+            if "UNAVAILABLE" in str(e) or "crashed" in str(e):
+                last = (step // t.checkpoint_every) * t.checkpoint_every
+                raise RuntimeError(
+                    f"device runtime failed near step {step}. Latest "
+                    f"checkpoint is step ~{last} in "
+                    f"{t.checkpoint_dir}/{cfg.name} — relaunch the same "
+                    f"command to resume from it.") from e
+            raise
 
         if step % t.log_every == 0:
             now = time.time()
