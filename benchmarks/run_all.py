@@ -104,8 +104,8 @@ def main():
         "device": str(jax.devices()[0]),
         "train": [bench_config("celeba128", batch, iters),
                   bench_config("pong64", batch, iters),
-                  # pose256 at its shipped batch (memory: 256² activations)
-                  bench_config("pose256", 4 if platform == "cpu" else 16,
+                  # pose256 at its shipped batch (b64 since round 3)
+                  bench_config("pose256", 4 if platform == "cpu" else 64,
                                iters)],
         # extract saturates at b1024 (sweep 2026-08-16; bench.py matches)
         "extract": bench_extract(1024 if platform != "cpu" else 2 * batch,
