@@ -335,12 +335,9 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
         dp = False
     if dp:
         mesh = data_parallel_mesh()
-        step_fn = make_dp_train_step(cfg, mesh, loss=loss)
         state = replicate(mesh, state)
         put = lambda b: shard_batch(mesh, b)
     else:
-        step_fn = jax.jit(make_train_step(cfg, model, loss=loss),
-                          donate_argnums=(0,))
         put = lambda b: b
 
     extract = jax.jit(make_extract_fn(cfg, model))
@@ -411,6 +408,10 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
     else:
         chunk = 1
         batch_iter = iter(batches)
+        # host-dispatch per-step path (grain streams): one step per dispatch
+        step_fn = (make_dp_train_step(cfg, mesh, loss=loss) if dp
+                   else jax.jit(make_train_step(cfg, model, loss=loss),
+                                donate_argnums=(0,)))
 
     eval_batch = None
     # the step counter is tracked on the HOST: fetching state.step every
