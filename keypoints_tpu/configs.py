@@ -117,6 +117,22 @@ class Config:
         return out
 
 
+def apply_overrides(cfg: Config, items) -> Config:
+    """Apply CLI ``--override field=value`` strings — the ONE parser shared
+    by every CLI entry point (train/eval/export). Values that parse as
+    Python literals (ints, floats, tuples) are evaluated; anything else
+    stays a string and is coerced per-field by ``Config.override``."""
+    import ast
+    for item in items:
+        key, val = item.split("=", 1)
+        try:
+            val = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            pass  # keep string
+        cfg = cfg.override(**{key: val})
+    return cfg
+
+
 # --- The five BASELINE presets [B:6–12] -------------------------------------
 
 PRESETS: dict[str, Config] = {}

@@ -134,15 +134,17 @@ def warp_y_window(cfg: WarpConfig, height: int) -> int:
     return int(math.ceil(spread)) + 4
 
 
-def make_pair(key: jax.Array, image: jnp.ndarray,
-              cfg: WarpConfig = WarpConfig(),
-              align_corners: bool = DEFAULT_ALIGN_CORNERS
-              ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """One image batch (B, C, H, W) → (source, target) independently warped pair."""
+def _warped_pair(key: jax.Array, image: jnp.ndarray, cfg: WarpConfig,
+                 align_corners: bool):
+    """Shared core of ``make_pair``/``make_pair_with_positions``:
+    → (source, target, target_field-or-None). ONE implementation so the
+    eval-pair distribution can never silently diverge from the training
+    pair distribution (honest-eval invariant, SURVEY §3.5)."""
     b, _, h, w = image.shape
     ks, kt, kc_s, kc_t = jax.random.split(key, 4)
-    out = []
     use_field = bool(cfg.field_res) and cfg.field_res < min(h, w)
+    win = warp_y_window(cfg, h)
+    out, tgt_field = [], None
     for kw, kc in ((ks, kc_s), (kt, kc_t)):
         if use_field:
             # coarse-field path: the fused Pallas warp evaluates the field
@@ -151,15 +153,25 @@ def make_pair(key: jax.Array, image: jnp.ndarray,
             warped = warp_sample_field(image, field, h, w,
                                        padding_mode="border",
                                        align_corners=align_corners,
-                                       y_window=warp_y_window(cfg, h))
+                                       y_window=win)
+            tgt_field = field              # last iteration = target warp
         else:
             grid = random_warp_grid(kw, b, h, w, cfg, align_corners)
             warped = warp_sample(image, grid, padding_mode="border",
                                  align_corners=align_corners,
-                                 y_window=warp_y_window(cfg, h))
+                                 y_window=win)
         out.append(color_jitter(kc, warped, cfg.brightness, cfg.contrast,
                                 cfg.saturation))
-    return out[0], out[1]
+    return out[0], out[1], tgt_field
+
+
+def make_pair(key: jax.Array, image: jnp.ndarray,
+              cfg: WarpConfig = WarpConfig(),
+              align_corners: bool = DEFAULT_ALIGN_CORNERS
+              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One image batch (B, C, H, W) → (source, target) independently warped pair."""
+    src, tgt, _ = _warped_pair(key, image, cfg, align_corners)
+    return src, tgt
 
 
 def make_pair_with_positions(key: jax.Array, image: jnp.ndarray,
@@ -180,19 +192,10 @@ def make_pair_with_positions(key: jax.Array, image: jnp.ndarray,
     set, the shipped configuration).
     """
     from keypoints_tpu.ops.warp import invert_warp_at
-    b, _, h, w = image.shape
+    _, _, h, w = image.shape
     if not (cfg.field_res and cfg.field_res < min(h, w)):
         raise ValueError("make_pair_with_positions needs the coarse-field "
                          "warp path (cfg.field_res < image size)")
-    ks, kt, kc_s, kc_t = jax.random.split(key, 4)
-    win = warp_y_window(cfg, h)
-    out = []
-    for kw, kc in ((ks, kc_s), (kt, kc_t)):
-        field = random_warp_field(kw, b, cfg, align_corners)
-        warped = warp_sample_field(image, field, h, w, padding_mode="border",
-                                   align_corners=align_corners, y_window=win)
-        out.append(color_jitter(kc, warped, cfg.brightness, cfg.contrast,
-                                cfg.saturation))
-        tgt_field = field                      # last iteration = target warp
+    src, tgt, tgt_field = _warped_pair(key, image, cfg, align_corners)
     tgt_positions = invert_warp_at(tgt_field, positions.astype(jnp.float32))
-    return out[0], out[1], tgt_positions
+    return src, tgt, tgt_positions

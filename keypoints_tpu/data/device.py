@@ -89,14 +89,16 @@ def device_memory_budget(headroom_bytes: int = HEADROOM_BYTES) -> int:
     try:
         dev = jax.devices()[0]
         stats = dev.memory_stats() or {}
-        if stats.get("bytes_limit") or stats.get("bytes_reservable_limit"):
-            limit = stats.get("bytes_limit") or stats.get(
-                "bytes_reservable_limit")
+        limit = stats.get("bytes_limit") or stats.get(
+            "bytes_reservable_limit")
+        if limit:
             free = int(limit) - int(stats.get("bytes_in_use", 0))
             return max(0, free - headroom_bytes)
-        hbm = device_hbm_bytes()
-        if hbm:
-            return max(0, hbm - headroom_bytes)
+        # no live stats: known HBM size for the device kind
+        kind = getattr(dev, "device_kind", "") or ""
+        for prefix, hbm in _HBM_BY_KIND:
+            if kind.startswith(prefix):
+                return max(0, hbm - headroom_bytes)
     except Exception:
         pass
     return DEFAULT_BUDGET_BYTES

@@ -140,15 +140,8 @@ def _cli(argv=None):
                    help="write a keypoint-overlay PNG here")
     args = p.parse_args(argv)
 
-    cfg = get_config(args.preset)
-    for item in args.override:
-        k, v = item.split("=", 1)
-        import ast
-        try:
-            v = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            pass
-        cfg = cfg.override(**{k: v})
+    from keypoints_tpu.configs import apply_overrides
+    cfg = apply_overrides(get_config(args.preset), args.override)
 
     state = init_state(cfg, jax.random.PRNGKey(0))
     mgr = ckpt.make_manager(args.checkpoint)

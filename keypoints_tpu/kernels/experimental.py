@@ -81,13 +81,16 @@ def _warp_kernel_tree(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
         start = 0
     win_p = win // 2
     start_p = start // 2
-    # n is STRICTLY greater than win_p: clamped out-of-window indices must
-    # land on a zero-pad row and contribute zero, exactly like the
-    # mask-reduce path's zero weights. With n == win_p (win_p a power of
-    # two) a clamped index would select the last REAL row — a wrong-value
-    # failure when the y_window invariant is violated (ADVICE r2 #2).
+    # Windowed: n STRICTLY greater than win_p, so a clamped out-of-window
+    # index lands on a zero-pad row and contributes zero, exactly like the
+    # mask-reduce path's zero weights (with n == win_p and win_p a power of
+    # two it would select the last REAL row — ADVICE r2 #2). Full window:
+    # y0,y1 ≤ h-1 ⇒ packed indices ≤ win_p-1 — clamping can never exceed
+    # the window, and padding there would DOUBLE the tree whenever win_p is
+    # a power of two, invalidating the recorded tie measurement.
+    min_n = win_p + 1 if win < h else win_p
     n = 1
-    while n < win_p + 1:
+    while n < min_n:
         n *= 2
     img2 = img_ref[0, :, pl.ds(start_p, win_p), :].reshape(c * win_p, w)
 

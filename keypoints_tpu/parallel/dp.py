@@ -35,9 +35,28 @@ def replicate(mesh: Mesh, tree):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Shard the leading (batch) axis of a pytree over the data axis."""
+    """Shard the leading (batch) axis of a pytree over the data axis.
+
+    Single-process: ``batch`` is the GLOBAL batch and ``device_put`` splits
+    it across local devices. Multi-process: each host passes only its LOCAL
+    shard — exactly what the per-host grain stream yields
+    (``train.make_batch_iterator`` reads ``batch/n_hosts`` per process) —
+    and the global array is assembled from the process-local slabs.
+    ``data_parallel_mesh`` orders devices process-major (``jax.devices()``),
+    so host i's rows land on host i's chips with no cross-host transfer.
+    Treating the local slab as the global value here would silently train
+    on ``batch/n_hosts`` frames per step (or fail to shard outright).
+    """
     sharding = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.device_put(batch, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+
+    def leaf(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x,
+                                                      global_shape)
+    return jax.tree_util.tree_map(leaf, batch)
 
 
 def shard_rng(rng: jax.Array) -> jax.Array:

@@ -498,20 +498,10 @@ def main(argv=None):
                    help="write a jax.profiler trace for the first 20 steps")
     args = p.parse_args(argv)
 
-    cfg = get_config(args.preset)
-    overrides = {}
-    for item in args.override:
-        k, v = item.split("=", 1)
-        import ast
-        try:
-            v = ast.literal_eval(v)  # literals only: ints, floats, tuples
-        except (ValueError, SyntaxError):
-            pass  # keep string
-        overrides[k] = v
+    from keypoints_tpu.configs import apply_overrides
+    cfg = apply_overrides(get_config(args.preset), args.override)
     if args.steps is not None:
-        overrides["train.steps"] = args.steps
-    if overrides:
-        cfg = cfg.override(**overrides)
+        cfg = cfg.override(**{"train.steps": args.steps})
     if args.profile:
         from keypoints_tpu.utils.profiling import trace
         with trace(args.profile):

@@ -66,3 +66,20 @@ def test_unknown_preset_raises():
 def test_unknown_field_raises():
     with pytest.raises((TypeError, AttributeError)):
         get_config("pong64").override(**{"train.nonexistent": 1})
+
+
+def test_apply_overrides_shared_cli_parser():
+    """The ONE CLI override parser (train/eval/export all route here)."""
+    from keypoints_tpu.configs import apply_overrides
+    cfg = apply_overrides(get_config("pong64"), [
+        "train.lr=3e-4",                    # float literal
+        "data.image_size=32",               # int literal
+        "name=run-a",                       # non-literal stays a string
+        "model.encoder_filters=(4, 8)",     # tuple literal
+        "train.vgg_ckpt=/tmp/vgg16.pth",    # path: SyntaxError branch
+    ])
+    assert cfg.train.lr == 3e-4
+    assert cfg.data.image_size == 32
+    assert cfg.name == "run-a"
+    assert cfg.model.encoder_filters == (4, 8)
+    assert cfg.train.vgg_ckpt == "/tmp/vgg16.pth"

@@ -269,8 +269,11 @@ def test_dp_resume_is_bit_exact(tmp_path, monkeypatch):
             "data.image_size": 32, "data.dataset": "synthetic_dots",
             "data.pair_mode": "warp",
             "train.batch_size": 16, "train.compute_dtype": "float32",
+            # eval_every=99 keeps the cadence gcd at 3 so the fused loop
+            # really runs MULTI-STEP scan chunks (100 would force chunk=1
+            # and silently skip the chunked-resume property under test)
             "train.steps": steps, "train.log_every": 3,
-            "train.eval_every": 100, "train.checkpoint_every": 3,
+            "train.eval_every": 99, "train.checkpoint_every": 3,
             "train.data_parallel": True,
         })
 

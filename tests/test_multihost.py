@@ -136,6 +136,36 @@ ck2 = float(sum(np.abs(np.asarray(jax.device_get(l))).sum()
                 for l in jax.tree_util.tree_leaves(state2.params)))
 assert int(np.asarray(jax.device_get(state2.step))) == 2
 print(f"FUSED_OK loss={l2:.9f} ck={ck2:.6f}", flush=True)
+
+# the grain-stream path end-to-end: each process reads its OWN index shard
+# at the LOCAL batch size (train.make_batch_iterator semantics), and
+# shard_batch must ASSEMBLE the per-host slabs into the global batch — not
+# treat a local slab as the global value (which would silently halve the
+# trained batch). Store content is identical on both hosts (same seed).
+import tempfile
+from keypoints_tpu.data.records import FrameStore, episode_pairs, pair_stream
+from keypoints_tpu.parallel import shard_batch
+
+tmp = tempfile.mkdtemp()
+rs = np.random.RandomState(0)
+frames = (rs.rand(32, 1, 16, 16) * 255).astype(np.uint8)
+FrameStore.write(f"{tmp}/s.npy", frames, episode_pairs([32]))
+store = FrameStore(f"{tmp}/s.npy")
+lb = multihost.local_batch_size(cfg.train.batch_size)     # 8 // 2 = 4
+it = pair_stream(store, lb, seed=0, shard_index=pid, shard_count=2)
+
+state3 = replicate(mesh, init_state(cfg, jax.random.PRNGKey(0)))
+l3 = None
+for i in range(2):
+    local = next(it)
+    assert local[0].shape[0] == lb, local[0].shape
+    g = shard_batch(mesh, local)
+    assert g[0].shape[0] == cfg.train.batch_size, g[0].shape   # GLOBAL batch
+    state3, m3 = step(state3, g, jax.random.PRNGKey(5))
+    l3 = float(np.asarray(jax.device_get(m3["loss"])))
+ck3 = float(sum(np.abs(np.asarray(jax.device_get(l))).sum()
+                for l in jax.tree_util.tree_leaves(state3.params)))
+print(f"STREAM_OK loss={l3:.9f} ck={ck3:.6f}", flush=True)
 print(f"WORKER_OK {pid}", flush=True)
 """
 
@@ -167,6 +197,11 @@ def test_two_process_psum(tmp_path):
     fused = [next(ln for ln in o.splitlines() if ln.startswith("FUSED_OK"))
              for o in outs]
     assert fused[0] == fused[1], fused
+    # grain-stream path: per-host local shards assembled into the global
+    # batch by shard_batch; training must stay in lockstep across hosts
+    stream = [next(ln for ln in o.splitlines() if ln.startswith("STREAM_OK"))
+              for o in outs]
+    assert stream[0] == stream[1], stream
 
 
 def _free_port() -> int:
