@@ -107,6 +107,15 @@ def main():
         img.astype(jnp.bfloat16))
     check("warp bf16 packed (block window)", got16, want, 2e-2)
 
+    # batch-1 serving shape: marginal at B=1 routes to Pallas to sidestep
+    # an XLA:TPU layout-assignment miscompile (kernels/__init__.py) — pin
+    # the routed kernel against the oracle at exactly that shape
+    hm1 = jnp.asarray(rs.randn(1, 10, 32, 32) * 2, jnp.float32)
+    for variant in ("joint", "marginal"):
+        check(f"spatial_softmax[{variant}] b1",
+              jax.jit(lambda h: spatial_softmax(h, 0.5, variant))(hm1),
+              s_jnp(hm1, 0.5, variant), 2e-5)
+
     # pong64-family shapes: 16² bottleneck, 64² grayscale warps
     hm16 = jnp.asarray(rs.randn(256, 4, 16, 16) * 2, jnp.float32)
     for variant in ("joint", "marginal"):

@@ -65,7 +65,10 @@ def load_extract(path_or_bytes) -> Callable:
     """Deserialize an exported extractor → fn(images) -> (B, K, 2).
 
     The returned callable is jit-compatible and runs on whatever platform
-    the artifact was exported for.
+    the artifact was exported for. Accepts both single artifacts and
+    bundles (``export_extract_bundle``): a bundle loads as a
+    ``BucketedExtract`` that serves ANY batch size up to its largest
+    bucket.
     """
     from jax import export as jexport
 
@@ -73,8 +76,89 @@ def load_extract(path_or_bytes) -> Callable:
     if isinstance(data, str):
         with open(data, "rb") as f:
             data = f.read()
+    if bytes(data[:2]) == b"PK":          # zip magic: a bucket bundle
+        return load_extract_bundle(data)
     exp = jexport.deserialize(bytearray(data))
     return lambda images: exp.call(images)
+
+
+def export_extract_bundle(cfg: Config, params, batches: Sequence[int],
+                          platforms: Sequence[str] | None = None) -> bytes:
+    """→ a multi-batch-bucket serving bundle (zip of StableHLO artifacts).
+
+    StableHLO programs are shape-specialized (static shapes ARE the TPU
+    fast path), so a server that must handle variable request sizes ships
+    one artifact per batch bucket and pads each request up to the smallest
+    covering bucket — the standard TPU serving pattern. The bundle is a
+    zip: ``b{N}.shlo`` per bucket + ``meta.json`` (shapes, buckets, K).
+    """
+    import io
+    import json
+    import zipfile
+
+    sizes = sorted({int(b) for b in batches})
+    if not sizes or sizes[0] < 1:
+        raise ValueError(f"invalid bucket list {batches!r}")
+    d = cfg.data
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for b in sizes:
+            z.writestr(f"b{b}.shlo", export_extract(cfg, params, b,
+                                                    platforms))
+        z.writestr("meta.json", json.dumps({
+            "format": "keypoints-extract-bundle", "version": 1,
+            "batches": sizes, "image_size": d.image_size,
+            "channels": d.channels,
+            "num_keypoints": cfg.model.num_keypoints}))
+    return buf.getvalue()
+
+
+class BucketedExtract:
+    """Serve any batch size ≤ the largest bucket from a bundle.
+
+    A request of n images runs on the smallest bucket ≥ n: the batch is
+    zero-padded up (rows are independent through Ψ+soft-argmax, so padding
+    never perturbs real outputs) and the result sliced back to n.
+    """
+
+    def __init__(self, fns: dict[int, Callable], meta: dict):
+        self._fns = dict(sorted(fns.items()))
+        self.meta = meta
+        self.max_batch = max(self._fns)
+
+    def __call__(self, images):
+        n = images.shape[0]
+        bucket = next((b for b in self._fns if b >= n), None)
+        if bucket is None:
+            raise ValueError(
+                f"batch {n} exceeds the largest exported bucket "
+                f"{self.max_batch}; split the request or re-export")
+        if n < bucket:
+            pad = jnp.zeros((bucket - n,) + tuple(images.shape[1:]),
+                            images.dtype)
+            images = jnp.concatenate([jnp.asarray(images), pad], axis=0)
+        return self._fns[bucket](images)[:n]
+
+
+def load_extract_bundle(path_or_bytes) -> BucketedExtract:
+    """Deserialize an ``export_extract_bundle`` zip → ``BucketedExtract``."""
+    import io
+    import json
+    import zipfile
+
+    from jax import export as jexport
+
+    data = path_or_bytes
+    if isinstance(data, str):
+        with open(data, "rb") as f:
+            data = f.read()
+    fns = {}
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        meta = json.loads(z.read("meta.json"))
+        for b in meta["batches"]:
+            exp = jexport.deserialize(bytearray(z.read(f"b{b}.shlo")))
+            fns[int(b)] = (lambda e: lambda x: e.call(x))(exp)
+    return BucketedExtract(fns, meta)
 
 
 def _cli(argv=None):
@@ -92,7 +176,9 @@ def _cli(argv=None):
     p.add_argument("--checkpoint", default=None,
                    help="Orbax checkpoint dir (trainer layout); "
                         "omit for random-init params (smoke exports)")
-    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--batch", type=int, nargs="+", default=[256],
+                   help="one size -> single artifact; several -> a bucket "
+                        "bundle (requests pad up to the smallest cover)")
     p.add_argument("--out", required=True)
     p.add_argument("--platforms", nargs="*", default=None,
                    help="e.g. --platforms tpu cpu (default: current backend)")
@@ -111,17 +197,23 @@ def _cli(argv=None):
         state = TrainState(**restored)
         print(f"exporting params from step {step}")
 
-    data = export_extract(cfg, state.params, args.batch,
-                          platforms=args.platforms)
+    if len(args.batch) > 1:
+        data = export_extract_bundle(cfg, state.params, args.batch,
+                                     platforms=args.platforms)
+        kind = f"bundle, buckets {sorted(set(args.batch))}"
+    else:
+        data = export_extract(cfg, state.params, args.batch[0],
+                              platforms=args.platforms)
+        kind = f"batch {args.batch[0]}"
     with open(args.out, "wb") as f:
         f.write(data)
     print(f"wrote {len(data) / 1e6:.2f} MB artifact to {args.out} "
-          f"(batch {args.batch}, {cfg.data.image_size}px)")
+          f"({kind}, {cfg.data.image_size}px)")
 
     # sanity: reload and run one batch
     extract = load_extract(args.out)
-    imgs = jnp.zeros((args.batch, cfg.data.channels, cfg.data.image_size,
-                      cfg.data.image_size), jnp.float32)
+    imgs = jnp.zeros((min(args.batch), cfg.data.channels,
+                      cfg.data.image_size, cfg.data.image_size), jnp.float32)
     kp = np.asarray(extract(imgs))
     print(f"reload OK: output {kp.shape}")
 

@@ -44,7 +44,14 @@ def spatial_softmax(heatmaps: jnp.ndarray, temperature: float = 1.0,
     # schedule exists under the documented layout limits (no lane-splitting
     # reshape, no stride-W segment reduce), so XLA is the TPU-optimal
     # routing for this variant.
-    if _on_tpu() and variant == "joint":
+    # Batch-1 marginal ALSO goes to Pallas — not for speed: XLA:TPU's
+    # layout assignment miscompiles the fused NHWC-transpose + marginal
+    # reduces at B=1 ("Expected instruction to have shape equal to
+    # f32[K,H], actual f32[H,K]", v5e / jax 0.9 remote compile — hit by
+    # the b1 serving bucket; every B>1 compiles fine). The Pallas kernel
+    # sidesteps the buggy fusion and is oracle-tested at this shape.
+    if _on_tpu() and (variant == "joint"
+                      or (variant == "marginal" and heatmaps.shape[0] == 1)):
         return spatial_softmax_pallas(heatmaps, temperature, variant,
                                       align_corners)
     return _softmax_jnp(heatmaps, temperature, variant, align_corners)

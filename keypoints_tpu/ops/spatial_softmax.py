@@ -47,16 +47,25 @@ def marginal_softmax(heatmaps: jnp.ndarray, temperature: float = 1.0,
 
     ``x`` comes from the width marginal ``sum_h heatmap``; ``y`` from the height
     marginal ``sum_w heatmap``.
+
+    B and K are flattened into one leading axis before the reduces: same
+    math, but the 4-D ``reduce(dims={2})``/``reduce(dims={3})`` pair trips
+    an XLA:TPU layout-assignment bug at batch 1 ("Expected instruction to
+    have shape equal to f32[K,H], actual f32[H,K]", v5e, jax 0.9 — hit by
+    the b1 serving bucket); the flattened 3-D reduces compile at every
+    batch size.
     """
-    hx = heatmaps.sum(axis=2)                    # (B, K, W)  width marginal
-    hy = heatmaps.sum(axis=3)                    # (B, K, H)  height marginal
+    b, k, h, w = heatmaps.shape
+    flat = heatmaps.reshape(b * k, h, w)
+    hx = flat.sum(axis=1)                        # (B*K, W)  width marginal
+    hy = flat.sum(axis=2)                        # (B*K, H)  height marginal
     px = jax.nn.softmax(hx / temperature, axis=-1)
     py = jax.nn.softmax(hy / temperature, axis=-1)
-    xs = axis_coords(heatmaps.shape[3], align_corners, heatmaps.dtype)
-    ys = axis_coords(heatmaps.shape[2], align_corners, heatmaps.dtype)
+    xs = axis_coords(w, align_corners, heatmaps.dtype)
+    ys = axis_coords(h, align_corners, heatmaps.dtype)
     ex = px @ xs
     ey = py @ ys
-    return jnp.stack([ex, ey], axis=-1)
+    return jnp.stack([ex, ey], axis=-1).reshape(b, k, 2)
 
 
 def spatial_softmax(heatmaps: jnp.ndarray, temperature: float = 1.0,

@@ -1,0 +1,201 @@
+"""Minimal TPU serving front end for exported keypoint extractors.
+
+The chip wants large static batches; clients send small requests at random
+times. ``BatchingExtractor`` is the glue: a thread-safe queue that
+coalesces concurrent requests into one device batch (bounded by
+``max_batch`` and ``max_delay_ms``), runs the extractor once, and scatters
+the result rows back to their callers — the standard TPU micro-batching
+pattern, ~60 lines because rows are independent through Ψ + soft-argmax.
+
+The reference has no serving layer (SURVEY.md §1: single-process research
+trainer); this module is the deployment story grown from the AOT StableHLO
+export (``keypoints_tpu.export``). A stdlib ``http.server`` CLI wraps it
+as a runnable example:
+
+    # one artifact (or bucket bundle) in, HTTP endpoint out
+    python -m keypoints_tpu.serve --artifact extract.shlo --port 8000
+
+    # client: POST a .npy of (n, C, H, W) float32 in [0, 1]
+    curl -s -X POST --data-binary @imgs.npy localhost:8000/extract > kp.npy
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable
+
+import numpy as np
+
+
+class BatchingExtractor:
+    """Coalesce concurrent extract requests into device-sized batches.
+
+    ``extract`` is any callable ``(n, C, H, W) → (n, K, 2)`` accepting
+    every ``n ≤ max_batch`` (a ``BucketedExtract`` bundle, a jitted model
+    fn, …). Requests wait at most ``max_delay_ms`` for co-travelers; a
+    request larger than ``max_batch`` is rejected (split it client-side or
+    export a larger bucket).
+    """
+
+    def __init__(self, extract: Callable, max_batch: int,
+                 max_delay_ms: float = 5.0):
+        self._extract = extract
+        self.max_batch = int(max_batch)
+        self._delay = max_delay_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, images: np.ndarray) -> Future:
+        """Enqueue an (n, C, H, W) request → Future of (n, K, 2)."""
+        fut: Future = Future()
+        n = images.shape[0]
+        if self._closed:
+            fut.set_exception(RuntimeError("extractor is closed"))
+        elif not 1 <= n <= self.max_batch:
+            fut.set_exception(ValueError(
+                f"request batch {n} outside [1, {self.max_batch}]"))
+        else:
+            self._q.put((images, fut))
+        return fut
+
+    def extract(self, images: np.ndarray) -> np.ndarray:
+        """Blocking convenience wrapper around ``submit``."""
+        return self.submit(images).result()
+
+    def close(self) -> None:
+        self._closed = True
+        self._q.put(None)
+        self._worker.join()
+
+    def _run(self) -> None:
+        carry = None                     # request that overflowed last batch
+        while True:
+            first = carry if carry is not None else self._q.get()
+            carry = None
+            if first is None:
+                return
+            batch = [first]
+            total = first[0].shape[0]
+            deadline = time.monotonic() + self._delay
+            while total < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if item is None:
+                    carry = None
+                    self._flush(batch)
+                    return
+                if total + item[0].shape[0] > self.max_batch:
+                    carry = item         # doesn't fit: leads the next batch
+                    break
+                batch.append(item)
+                total += item[0].shape[0]
+            self._flush(batch)
+
+    def _flush(self, batch) -> None:
+        images = np.concatenate([b[0] for b in batch], axis=0)
+        try:
+            kp = np.asarray(self._extract(images))
+        except Exception as e:           # fan the failure out to every caller
+            for _, fut in batch:
+                fut.set_exception(e)
+            return
+        row = 0
+        for images_i, fut in batch:
+            n = images_i.shape[0]
+            fut.set_result(kp[row:row + n])
+            row += n
+
+
+def _cli(argv=None):
+    import argparse
+    import io
+    import json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from keypoints_tpu.export import BucketedExtract, load_extract
+    from keypoints_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    p = argparse.ArgumentParser(
+        description="HTTP keypoint-extraction server over an exported "
+                    "artifact (single or bucket bundle)")
+    p.add_argument("--artifact", required=True)
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-delay-ms", type=float, default=5.0,
+                   help="how long a request waits for co-travelers")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip compiling every bucket before accepting "
+                        "traffic (first request per bucket then pays the "
+                        "compile, seconds to minutes on TPU)")
+    args = p.parse_args(argv)
+
+    extract = load_extract(args.artifact)
+    if isinstance(extract, BucketedExtract):
+        max_batch, meta = extract.max_batch, extract.meta
+    else:
+        raise SystemExit(
+            "single-batch artifacts can't serve variable request sizes; "
+            "export a bundle: keypoints-export --batch 1 8 64 ...")
+    if not args.no_warmup:
+        # compile every bucket up front: a cold bucket would stall its
+        # first request (and everything queued behind it) for the full
+        # device compile
+        for b in meta["batches"]:
+            t0 = time.monotonic()
+            np.asarray(extract(np.zeros(
+                (b, meta["channels"], meta["image_size"],
+                 meta["image_size"]), np.float32)))
+            print(f"warmed bucket b{b} in {time.monotonic() - t0:.1f}s",
+                  flush=True)
+    server = BatchingExtractor(extract, max_batch, args.max_delay_ms)
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = json.dumps(meta).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            try:
+                raw = self.rfile.read(int(self.headers["Content-Length"]))
+                images = np.load(io.BytesIO(raw), allow_pickle=False)
+                kp = server.extract(np.ascontiguousarray(images, np.float32))
+                out = io.BytesIO()
+                np.save(out, np.asarray(kp))
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.end_headers()
+                self.wfile.write(out.getvalue())
+            except Exception as e:
+                msg = str(e).encode()
+                self.send_response(400)
+                self.end_headers()
+                self.wfile.write(msg)
+
+        def log_message(self, *a):       # quiet access log
+            pass
+
+    httpd = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
+    print(f"serving {args.artifact} on :{args.port} "
+          f"(buckets {meta['batches']}, {meta['image_size']}px, "
+          f"K={meta['num_keypoints']})", flush=True)
+    try:
+        httpd.serve_forever()
+    finally:
+        server.close()
+
+
+if __name__ == "__main__":
+    _cli()

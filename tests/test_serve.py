@@ -1,0 +1,185 @@
+"""Serving layer: bucket bundles (export) + the micro-batching front end."""
+
+import io
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keypoints_tpu.serve import BatchingExtractor
+
+
+def _row_id_extract(images):
+    """Fake extractor whose output identifies each input row — any
+    misrouted row through coalescing/padding/slicing shows up exactly."""
+    flat = np.asarray(images).reshape(images.shape[0], -1)
+    return np.stack([flat[:, 0], flat[:, 1]], axis=1)[:, None, :]  # (n,1,2)
+
+
+def test_batching_extractor_routes_rows_exactly():
+    calls = []
+
+    def extract(images):
+        calls.append(images.shape[0])
+        assert images.shape[0] <= 4, "batch exceeded max_batch"
+        return _row_id_extract(images)
+
+    srv = BatchingExtractor(extract, max_batch=4, max_delay_ms=20)
+    rs = np.random.RandomState(0)
+    reqs = [rs.rand(n, 1, 2, 2).astype(np.float32)
+            for n in (1, 3, 2, 1, 4, 2)]
+    futs = [srv.submit(r) for r in reqs]
+    for req, fut in zip(reqs, futs):
+        got = fut.result(timeout=10)
+        np.testing.assert_array_equal(got, _row_id_extract(req))
+        assert got.shape == (req.shape[0], 1, 2)
+    srv.close()
+    assert sum(calls) == sum(r.shape[0] for r in reqs)
+
+
+def test_batching_extractor_concurrent_threads():
+    srv = BatchingExtractor(_row_id_extract, max_batch=8, max_delay_ms=10)
+    rs = np.random.RandomState(1)
+    reqs = [rs.rand(1 + i % 3, 1, 2, 2).astype(np.float32)
+            for i in range(20)]
+    results = [None] * len(reqs)
+
+    def worker(i):
+        results[i] = srv.extract(reqs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    srv.close()
+    for req, got in zip(reqs, results):
+        np.testing.assert_array_equal(got, _row_id_extract(req))
+
+
+def test_batching_extractor_rejects_oversize_and_closed():
+    srv = BatchingExtractor(_row_id_extract, max_batch=2, max_delay_ms=1)
+    with pytest.raises(ValueError, match="outside"):
+        srv.submit(np.zeros((3, 1, 2, 2), np.float32)).result()
+    srv.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit(np.zeros((1, 1, 2, 2), np.float32)).result()
+
+
+def test_batching_extractor_fans_out_failures():
+    def broken(images):
+        raise RuntimeError("device on fire")
+
+    srv = BatchingExtractor(broken, max_batch=4, max_delay_ms=1)
+    futs = [srv.submit(np.zeros((1, 1, 2, 2), np.float32))
+            for _ in range(3)]
+    for f in futs:
+        with pytest.raises(RuntimeError, match="device on fire"):
+            f.result(timeout=10)
+    srv.close()
+
+
+def _tiny_cfg():
+    from keypoints_tpu.configs import get_config
+    return get_config("pong64").override(**{
+        "model.encoder_filters": (4, 8), "model.encoder_strides": (2, 2),
+        "model.decoder_filters": (8, 4),
+        "model.decoder_upsample": (True, True), "model.groups": 2,
+        "model.num_keypoints": 3, "data.image_size": 16,
+        "train.compute_dtype": "float32"})
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    """A (1, 4)-bucket bundle of a tiny extractor + the direct oracle."""
+    from keypoints_tpu.export import export_extract_bundle
+    from keypoints_tpu.training import build_model, init_state, \
+        make_extract_fn
+
+    cfg = _tiny_cfg()
+    model = build_model(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    data = export_extract_bundle(cfg, state.params, batches=(1, 4))
+    direct = jax.jit(make_extract_fn(cfg, model))
+    return data, (lambda imgs: direct(state.params, imgs))
+
+
+def test_bundle_pads_to_covering_bucket(bundle):
+    from keypoints_tpu.export import load_extract
+    data, direct = bundle
+    ext = load_extract(data)
+    assert ext.max_batch == 4
+    rs = np.random.RandomState(2)
+    for n in (1, 2, 3, 4):     # 2, 3 pad up to the b4 bucket
+        imgs = jnp.asarray(rs.rand(n, 1, 16, 16), jnp.float32)
+        got = np.asarray(ext(imgs))
+        assert got.shape[0] == n
+        np.testing.assert_allclose(got, np.asarray(direct(imgs)),
+                                   rtol=0, atol=1e-6)
+    with pytest.raises(ValueError, match="exceeds the largest"):
+        ext(jnp.zeros((5, 1, 16, 16), jnp.float32))
+
+
+def test_bundle_roundtrips_through_file_and_detection(bundle, tmp_path):
+    """load_extract must auto-detect bundle vs single artifact from bytes."""
+    from keypoints_tpu.export import BucketedExtract, load_extract
+    data, _ = bundle
+    path = tmp_path / "extract.shlo"
+    path.write_bytes(data)
+    ext = load_extract(str(path))
+    assert isinstance(ext, BucketedExtract)
+    assert ext.meta["num_keypoints"] == 3
+    assert ext.meta["batches"] == [1, 4]
+
+
+def test_http_server_end_to_end(bundle, tmp_path):
+    """The shipped HTTP example: POST .npy in, .npy of keypoints out."""
+    import socket
+    import urllib.request
+
+    from keypoints_tpu import serve
+
+    data, direct = bundle
+    art = tmp_path / "bundle.shlo"
+    art.write_bytes(data)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    t = threading.Thread(
+        target=serve._cli,
+        args=([f"--artifact={art}", f"--port={port}",
+               "--max-delay-ms=1"],),
+        daemon=True)
+    t.start()
+
+    imgs = np.random.RandomState(3).rand(3, 1, 16, 16).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, imgs)
+    req = urllib.request.Request(f"http://localhost:{port}/extract",
+                                 data=buf.getvalue(), method="POST")
+    last = None
+    for _ in range(50):                  # poll until the server is up
+        try:
+            with urllib.request.urlopen(req, timeout=5) as resp:
+                body = resp.read()
+            break
+        except OSError as e:
+            last = e
+            import time
+            time.sleep(0.2)
+    else:
+        raise AssertionError(f"server never came up: {last}")
+    kp = np.load(io.BytesIO(body))
+    np.testing.assert_allclose(kp, np.asarray(direct(jnp.asarray(imgs))),
+                               rtol=0, atol=1e-6)
+    # health endpoint serves the bundle metadata
+    with urllib.request.urlopen(
+            f"http://localhost:{port}/", timeout=5) as resp:
+        import json
+        meta = json.loads(resp.read())
+    assert meta["batches"] == [1, 4]
