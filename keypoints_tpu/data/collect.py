@@ -117,3 +117,42 @@ def collect(out_path: str, env_name: Optional[str] = "ALE/Pong-v5",
     pairs = episode_pairs(lengths, delta)
     FrameStore.write(out_path, frames, pairs)
     return out_path
+
+
+def _cli(argv=None):
+    """Standalone collection entry point (the reference's pre-training
+    collect-script workflow, SURVEY.md §3.4); the trainer also auto-collects
+    on first run when the store is absent."""
+    import argparse
+
+    from keypoints_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    p = argparse.ArgumentParser(
+        description="Collect Atari (or scripted-Pong fallback) rollouts "
+                    "into a packed FrameStore with a temporal-pair index")
+    p.add_argument("--out", required=True, help="output store path")
+    p.add_argument("--env", default="ALE/Pong-v5",
+                   help="gym env id; 'none' forces the scripted fallback")
+    p.add_argument("--episodes", type=int, default=20)
+    p.add_argument("--steps-per-episode", type=int, default=200)
+    p.add_argument("--size", type=int, default=64)
+    p.add_argument("--delta", type=int, default=2,
+                   help="temporal pair offset (frame_t, frame_{t+delta})")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    env = None if args.env.lower() == "none" else args.env
+    using_ale = env is not None and _ale_available(env)
+    print(f"collecting {args.episodes} episodes via "
+          f"{'ALE ' + env if using_ale else 'scripted Pong (no ALE)'}",
+          flush=True)
+    path = collect(args.out, env, args.episodes, args.steps_per_episode,
+                   args.size, args.delta, args.seed)
+    store = FrameStore(path)
+    print(f"wrote {path}: {store.frames.shape[0]} frames "
+          f"{store.frames.shape[1:]}, {len(store.pairs)} pairs")
+
+
+if __name__ == "__main__":
+    _cli()

@@ -134,9 +134,17 @@ class BucketedExtract:
                 f"batch {n} exceeds the largest exported bucket "
                 f"{self.max_batch}; split the request or re-export")
         if n < bucket:
-            pad = jnp.zeros((bucket - n,) + tuple(images.shape[1:]),
-                            images.dtype)
-            images = jnp.concatenate([jnp.asarray(images), pad], axis=0)
+            # pad on the host when the request is a host array: one upload,
+            # no extra zeros/concat device dispatches (each device call
+            # costs a full round-trip on a remote-attached TPU)
+            if isinstance(images, np.ndarray):
+                images = np.concatenate(
+                    [images, np.zeros((bucket - n,) + images.shape[1:],
+                                      images.dtype)])
+            else:
+                pad = jnp.zeros((bucket - n,) + tuple(images.shape[1:]),
+                                images.dtype)
+                images = jnp.concatenate([jnp.asarray(images), pad], axis=0)
         return self._fns[bucket](images)[:n]
 
 
