@@ -104,6 +104,18 @@ def test_collector_writes_pong_store(tmp_path):
     assert store.frames.max() > 100   # content present
 
 
+def test_collect_cli(tmp_path, capsys):
+    """The keypoints-collect entry point: args parse, store lands on disk."""
+    from keypoints_tpu.data.collect import _cli
+    out = str(tmp_path / "cli" / "pong.npy")
+    _cli(["--out", out, "--env", "none", "--episodes", "2",
+          "--steps-per-episode", "5", "--size", "32", "--delta", "1"])
+    store = FrameStore(out)
+    assert store.frames.shape == (10, 1, 32, 32)
+    assert len(store.pairs) == 8
+    assert "wrote" in capsys.readouterr().out
+
+
 def test_device_dataset_sampling(tmp_path):
     from keypoints_tpu.data.device import DeviceDataset, fits_in_memory
     frames = (np.random.RandomState(0).rand(12, 1, 8, 8) * 255).astype(np.uint8)
