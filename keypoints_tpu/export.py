@@ -61,14 +61,15 @@ def export_extract(cfg: Config, params, batch: int,
     return exp.serialize()
 
 
-def load_extract(path_or_bytes) -> Callable:
+def load_extract(path_or_bytes) -> "BucketedExtract":
     """Deserialize an exported extractor → fn(images) -> (B, K, 2).
 
     The returned callable is jit-compatible and runs on whatever platform
-    the artifact was exported for. Accepts both single artifacts and
-    bundles (``export_extract_bundle``): a bundle loads as a
-    ``BucketedExtract`` that serves ANY batch size up to its largest
-    bucket.
+    the artifact was exported for. Both single artifacts
+    (``export_extract``) and bundles (``export_extract_bundle``) load as a
+    ``BucketedExtract`` serving ANY batch size up to the largest bucket —
+    a single artifact is a one-bucket bundle whose metadata is recovered
+    from the program's input/output shapes.
     """
     from jax import export as jexport
 
@@ -79,7 +80,12 @@ def load_extract(path_or_bytes) -> Callable:
     if bytes(data[:2]) == b"PK":          # zip magic: a bucket bundle
         return load_extract_bundle(data)
     exp = jexport.deserialize(bytearray(data))
-    return lambda images: exp.call(images)
+    (b, c, h, _), = [a.shape for a in exp.in_avals]
+    (_, k, _), = [a.shape for a in exp.out_avals]
+    meta = {"format": "keypoints-extract-bundle", "version": 1,
+            "batches": [int(b)], "image_size": int(h), "channels": int(c),
+            "num_keypoints": int(k)}
+    return BucketedExtract({int(b): lambda x: exp.call(x)}, meta)
 
 
 def export_extract_bundle(cfg: Config, params, batches: Sequence[int],

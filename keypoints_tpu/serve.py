@@ -41,26 +41,40 @@ class BatchingExtractor:
     """
 
     def __init__(self, extract: Callable, max_batch: int,
-                 max_delay_ms: float = 5.0):
+                 max_delay_ms: float = 5.0,
+                 item_shape: tuple | None = None):
         self._extract = extract
         self.max_batch = int(max_batch)
         self._delay = max_delay_ms / 1e3
+        self._item_shape = tuple(item_shape) if item_shape else None
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        self._lock = threading.Lock()    # orders submit() vs close()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     def submit(self, images: np.ndarray) -> Future:
-        """Enqueue an (n, C, H, W) request → Future of (n, K, 2)."""
+        """Enqueue an (n, C, H, W) request → Future of (n, K, 2).
+
+        Malformed requests fail their own future here, before batching —
+        a bad request must never poison the co-travelers it would have
+        been concatenated with.
+        """
         fut: Future = Future()
         n = images.shape[0]
-        if self._closed:
-            fut.set_exception(RuntimeError("extractor is closed"))
-        elif not 1 <= n <= self.max_batch:
+        if not 1 <= n <= self.max_batch:
             fut.set_exception(ValueError(
                 f"request batch {n} outside [1, {self.max_batch}]"))
+        elif self._item_shape and tuple(images.shape[1:]) != self._item_shape:
+            fut.set_exception(ValueError(
+                f"request item shape {tuple(images.shape[1:])} != expected "
+                f"{self._item_shape}"))
         else:
-            self._q.put((images, fut))
+            with self._lock:             # no enqueue after the sentinel
+                if self._closed:
+                    fut.set_exception(RuntimeError("extractor is closed"))
+                else:
+                    self._q.put((images, fut))
         return fut
 
     def extract(self, images: np.ndarray) -> np.ndarray:
@@ -68,8 +82,11 @@ class BatchingExtractor:
         return self.submit(images).result()
 
     def close(self) -> None:
-        self._closed = True
-        self._q.put(None)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
         self._worker.join()
 
     def _run(self) -> None:
@@ -79,8 +96,8 @@ class BatchingExtractor:
             carry = None
             if first is None:
                 return
-            batch = [first]
-            total = first[0].shape[0]
+            batch = self._admit([], first)
+            total = sum(b[0].shape[0] for b in batch)
             deadline = time.monotonic() + self._delay
             while total < self.max_batch:
                 timeout = deadline - time.monotonic()
@@ -91,19 +108,29 @@ class BatchingExtractor:
                 except queue.Empty:
                     break
                 if item is None:
-                    carry = None
                     self._flush(batch)
                     return
                 if total + item[0].shape[0] > self.max_batch:
                     carry = item         # doesn't fit: leads the next batch
                     break
-                batch.append(item)
-                total += item[0].shape[0]
+                self._admit(batch, item)
+                total = sum(b[0].shape[0] for b in batch)
             self._flush(batch)
 
+    @staticmethod
+    def _admit(batch: list, item) -> list:
+        # Claim the future NOW: a PENDING future can still be cancel()ed by
+        # its caller, and set_result on a cancelled future raises
+        # InvalidStateError — which would strand every co-batched request.
+        if item[1].set_running_or_notify_cancel():
+            batch.append(item)
+        return batch
+
     def _flush(self, batch) -> None:
-        images = np.concatenate([b[0] for b in batch], axis=0)
+        if not batch:                    # everything was cancelled
+            return
         try:
+            images = np.concatenate([b[0] for b in batch], axis=0)
             kp = np.asarray(self._extract(images))
         except Exception as e:           # fan the failure out to every caller
             for _, fut in batch:
@@ -140,12 +167,8 @@ def _cli(argv=None):
     args = p.parse_args(argv)
 
     extract = load_extract(args.artifact)
-    if isinstance(extract, BucketedExtract):
-        max_batch, meta = extract.max_batch, extract.meta
-    else:
-        raise SystemExit(
-            "single-batch artifacts can't serve variable request sizes; "
-            "export a bundle: keypoints-export --batch 1 8 64 ...")
+    assert isinstance(extract, BucketedExtract)   # single artifact = 1 bucket
+    max_batch, meta = extract.max_batch, extract.meta
     if not args.no_warmup:
         # compile every bucket up front: a cold bucket would stall its
         # first request (and everything queued behind it) for the full
@@ -157,7 +180,10 @@ def _cli(argv=None):
                  meta["image_size"]), np.float32)))
             print(f"warmed bucket b{b} in {time.monotonic() - t0:.1f}s",
                   flush=True)
-    server = BatchingExtractor(extract, max_batch, args.max_delay_ms)
+    server = BatchingExtractor(
+        extract, max_batch, args.max_delay_ms,
+        item_shape=(meta["channels"], meta["image_size"],
+                    meta["image_size"]))
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
@@ -178,11 +204,15 @@ def _cli(argv=None):
                 self.send_header("Content-Type", "application/octet-stream")
                 self.end_headers()
                 self.wfile.write(out.getvalue())
-            except Exception as e:
-                msg = str(e).encode()
+            except ValueError as e:      # malformed request (shape/decode)
                 self.send_response(400)
                 self.end_headers()
-                self.wfile.write(msg)
+                self.wfile.write(str(e).encode())
+            except Exception as e:       # device/runtime fault — retryable
+                self.send_response(503)
+                self.end_headers()
+                self.wfile.write(
+                    f"extraction failed: {type(e).__name__}".encode())
 
         def log_message(self, *a):       # quiet access log
             pass

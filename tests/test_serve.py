@@ -70,6 +70,42 @@ def test_batching_extractor_rejects_oversize_and_closed():
         srv.submit(np.zeros((1, 1, 2, 2), np.float32)).result()
 
 
+def test_batching_extractor_rejects_wrong_item_shape():
+    srv = BatchingExtractor(_row_id_extract, max_batch=4, max_delay_ms=1,
+                            item_shape=(1, 2, 2))
+    with pytest.raises(ValueError, match="item shape"):
+        srv.submit(np.zeros((1, 1, 4, 4), np.float32)).result()
+    # conforming request still succeeds
+    ok = srv.extract(np.ones((1, 1, 2, 2), np.float32))
+    assert ok.shape == (1, 1, 2)
+    srv.close()
+
+
+def test_batching_extractor_cancelled_future_does_not_poison_batch():
+    """A caller cancelling its pending future must not strand the other
+    requests coalesced into the same device batch."""
+    release = threading.Event()
+
+    def gated(images):
+        release.wait(timeout=10)
+        return _row_id_extract(images)
+
+    srv = BatchingExtractor(gated, max_batch=4, max_delay_ms=20)
+    # a full batch flushes immediately; the worker blocks inside `gated`
+    # while victim + survivor queue up behind it, still PENDING
+    blocker = srv.submit(np.zeros((4, 1, 2, 2), np.float32))
+    victim = srv.submit(np.zeros((1, 1, 2, 2), np.float32))
+    survivor_req = np.full((2, 1, 2, 2), 0.5, np.float32)
+    survivor = srv.submit(survivor_req)
+    assert victim.cancel()               # still queued ⇒ cancellable
+    release.set()
+    blocker.result(timeout=10)
+    got = survivor.result(timeout=10)    # must NOT hang or raise
+    np.testing.assert_array_equal(got, _row_id_extract(survivor_req))
+    assert victim.cancelled()
+    srv.close()
+
+
 def test_batching_extractor_fans_out_failures():
     def broken(images):
         raise RuntimeError("device on fire")
@@ -134,6 +170,32 @@ def test_bundle_roundtrips_through_file_and_detection(bundle, tmp_path):
     assert isinstance(ext, BucketedExtract)
     assert ext.meta["num_keypoints"] == 3
     assert ext.meta["batches"] == [1, 4]
+
+
+def test_single_artifact_loads_as_one_bucket_bundle():
+    """export_extract (no zip) must load as a BucketedExtract with meta
+    recovered from the program's avals, serving any n ≤ its batch."""
+    from keypoints_tpu.export import (BucketedExtract, export_extract,
+                                      load_extract)
+    from keypoints_tpu.training import build_model, init_state, \
+        make_extract_fn
+
+    cfg = _tiny_cfg()
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    data = export_extract(cfg, state.params, batch=4)
+    ext = load_extract(data)
+    assert isinstance(ext, BucketedExtract)
+    assert ext.meta["batches"] == [4]
+    assert ext.meta["image_size"] == 16
+    assert ext.meta["channels"] == 1
+    assert ext.meta["num_keypoints"] == 3
+
+    direct = jax.jit(make_extract_fn(cfg, build_model(cfg)))
+    imgs = jnp.asarray(np.random.RandomState(4).rand(2, 1, 16, 16),
+                       jnp.float32)
+    np.testing.assert_allclose(          # n=2 pads up to the b4 program
+        np.asarray(ext(imgs)), np.asarray(direct(state.params, imgs)),
+        rtol=0, atol=1e-6)
 
 
 def test_http_server_end_to_end(bundle, tmp_path):
