@@ -180,14 +180,18 @@ pose256 = _register(Config(
                       decoder_upsample=(True, True, True, False)),
     data=DataConfig(dataset="pose", image_size=256, channels=3,
                     pair_mode="warp"),
-    # b64 validated round 3: full loop (step + resident store + eval) runs
-    # clean at 459 fps (b16: 372), XLA step peak 10.06/16 GiB (preflight),
-    # joint locking 0.041 @2k steps. The r2 worker-kill was root-caused to
-    # LONG SINGLE DISPATCHES (a ~70 s scan chunk trips the worker's
-    # execution deadline), fixed by train()'s chunk cap; HBM is also
-    # preflighted before the first step. See BASELINE.md.
+    # b128 validated round 3 (batch sweep benchmarks/bench_pose_remat.py):
+    # XLA buffer reuse keeps the step peak sublinear in batch (b64 9.72 GiB,
+    # b128 11.89, b256 14.38 of 16) and b128 is the throughput optimum —
+    # 672 fps full loop (preflight 12.15 GiB step + 0.51 eval) vs 460 at b64
+    # and 609 at b256. Joint locking measured in the b64 band: 0.071 @2k
+    # steps (b64: 0.041 @2k / 0.061 @6k; run variance spans that band —
+    # see BASELINE.md for the showcase records).
+    # The r2 worker-kill was root-caused to LONG SINGLE DISPATCHES (a ~70 s
+    # scan chunk trips the worker's execution deadline), fixed by train()'s
+    # chunk cap; total HBM is preflighted before the first step.
     train=TrainConfig(model_kind="autoencoder", loss="perceptual",
-                      batch_size=64, lr=1e-3),
+                      batch_size=128, lr=1e-3),
 ))
 
 # [B:11] Data-parallel run, fully device-side decode/augment/prefetch.
