@@ -43,7 +43,11 @@ def bench_config(name, batch, iters):
     from keypoints_tpu.train import make_loss
     from keypoints_tpu.training import build_model, init_state, make_train_step
 
-    cfg = get_config(name).override(**{"train.batch_size": batch})
+    cfg = get_config(name)
+    if batch is None:                      # None = the preset's shipped batch
+        batch = cfg.train.batch_size
+    else:
+        cfg = cfg.override(**{"train.batch_size": batch})
     model = build_model(cfg)
     state = init_state(cfg, jax.random.PRNGKey(0))
     step = jax.jit(make_train_step(cfg, model, loss=make_loss(cfg)),
@@ -104,8 +108,10 @@ def main():
         "device": str(jax.devices()[0]),
         "train": [bench_config("celeba128", batch, iters),
                   bench_config("pong64", batch, iters),
-                  # pose256 at its shipped batch (b64 since round 3)
-                  bench_config("pose256", 4 if platform == "cpu" else 64,
+                  # pose256 at its shipped batch: read the preset default so
+                  # this sweep always measures the configuration users get
+                  # (hardcoding went stale when the default moved b64 -> b128)
+                  bench_config("pose256", 4 if platform == "cpu" else None,
                                iters)],
         # extract saturates at b1024 (sweep 2026-08-16; bench.py matches)
         "extract": bench_extract(1024 if platform != "cpu" else 2 * batch,

@@ -86,22 +86,15 @@ def device_memory_budget(headroom_bytes: int = HEADROOM_BYTES) -> int:
     peak — the b64 pose256 lesson: a store that fits is not a loop that
     fits).
     """
+    total = device_hbm_bytes()   # one probe shared with train()'s preflight
+    if total is None:
+        return DEFAULT_BUDGET_BYTES
     try:
-        dev = jax.devices()[0]
-        stats = dev.memory_stats() or {}
-        limit = stats.get("bytes_limit") or stats.get(
-            "bytes_reservable_limit")
-        if limit:
-            free = int(limit) - int(stats.get("bytes_in_use", 0))
-            return max(0, free - headroom_bytes)
-        # no live stats: known HBM size for the device kind
-        kind = getattr(dev, "device_kind", "") or ""
-        for prefix, hbm in _HBM_BY_KIND:
-            if kind.startswith(prefix):
-                return max(0, hbm - headroom_bytes)
+        in_use = int((jax.devices()[0].memory_stats() or {})
+                     .get("bytes_in_use", 0))
     except Exception:
-        pass
-    return DEFAULT_BUDGET_BYTES
+        in_use = 0
+    return max(0, total - in_use - headroom_bytes)
 
 
 def fits_in_memory(store: FrameStore,

@@ -41,8 +41,11 @@ def export_extract(cfg: Config, params, batch: int,
     artifact). ``platforms`` defaults to the current backend; pass e.g.
     ``("tpu", "cpu")`` to emit a multi-platform artifact.
     """
+    import contextlib
+
     from jax import export as jexport
 
+    from keypoints_tpu import kernels
     from keypoints_tpu.training import build_model, make_extract_fn
 
     model = build_model(cfg)
@@ -57,7 +60,15 @@ def export_extract(cfg: Config, params, batch: int,
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    exp = jexport.export(jax.jit(fn), **kwargs)(spec)
+    # A multi-platform artifact cannot contain Mosaic pallas_calls (they
+    # lower for TPU only) — trace the pure-jnp kernel paths instead. The
+    # TPU-only export keeps the Pallas routing (incl. the B=1 marginal
+    # kernel that sidesteps the XLA:TPU b1 layout miscompile; the jnp path
+    # flattens (B,K) before reducing, so it is safe on every platform too).
+    portable = platforms is not None and any(p != "tpu" for p in platforms)
+    ctx = kernels.xla_only() if portable else contextlib.nullcontext()
+    with ctx:
+        exp = jexport.export(jax.jit(fn), **kwargs)(spec)
     return exp.serialize()
 
 

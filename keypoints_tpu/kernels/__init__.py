@@ -7,6 +7,9 @@ debugging). The jnp paths are the correctness oracles — see tests/test_kernels
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 import jax
 import jax.numpy as jnp
 
@@ -21,8 +24,29 @@ from keypoints_tpu.ops.spatial_softmax import spatial_softmax as _softmax_jnp
 from keypoints_tpu.ops.warp import grid_sample as _grid_sample_jnp
 
 
+_LOCAL = threading.local()
+
+
+@contextlib.contextmanager
+def xla_only():
+    """Force the pure-jnp (XLA) paths for code traced inside this block.
+
+    Mosaic ``pallas_call``s lower only for TPU, so a program that must also
+    run elsewhere — a multi-platform ``jax.export`` artifact (``--platforms
+    tpu cpu``) being the real case — has to trace the jnp oracles instead.
+    Thread-local so a serving process exporting in one thread does not
+    deroute the hot path in another."""
+    prev = getattr(_LOCAL, "xla_only", False)
+    _LOCAL.xla_only = True
+    try:
+        yield
+    finally:
+        _LOCAL.xla_only = prev
+
+
 def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
+    return (jax.default_backend() == "tpu"
+            and not getattr(_LOCAL, "xla_only", False))
 
 
 def spatial_softmax(heatmaps: jnp.ndarray, temperature: float = 1.0,
@@ -122,7 +146,7 @@ def warp_sample_field(image: jnp.ndarray, field: jnp.ndarray,
 
 
 __all__ = ["spatial_softmax", "gaussian_maps", "warp_sample",
-           "warp_sample_field", "spatial_softmax_pallas",
+           "warp_sample_field", "xla_only", "spatial_softmax_pallas",
            "gaussian_maps_pallas", "warp_bilinear_pallas",
            "warp_field_pallas"]
 

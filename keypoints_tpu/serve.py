@@ -61,20 +61,27 @@ class BatchingExtractor:
         been concatenated with.
         """
         fut: Future = Future()
-        n = images.shape[0]
-        if not 1 <= n <= self.max_batch:
+        n = images.shape[0] if images.ndim else 0
+        if images.ndim < 2 or not 1 <= n <= self.max_batch:
             fut.set_exception(ValueError(
-                f"request batch {n} outside [1, {self.max_batch}]"))
-        elif self._item_shape and tuple(images.shape[1:]) != self._item_shape:
-            fut.set_exception(ValueError(
-                f"request item shape {tuple(images.shape[1:])} != expected "
-                f"{self._item_shape}"))
-        else:
-            with self._lock:             # no enqueue after the sentinel
-                if self._closed:
-                    fut.set_exception(RuntimeError("extractor is closed"))
-                else:
-                    self._q.put((images, fut))
+                f"request batch {n} outside [1, {self.max_batch}] "
+                f"(shape {tuple(images.shape)})"))
+            return fut
+        with self._lock:                 # no enqueue after the sentinel
+            # Pin the item shape from the first request when the caller gave
+            # none: without this, two concurrent requests with different
+            # item shapes both pass validation and the batch-level
+            # concatenate fails — poisoning the VALID co-batched request.
+            if self._item_shape is None:
+                self._item_shape = tuple(images.shape[1:])
+            if tuple(images.shape[1:]) != self._item_shape:
+                fut.set_exception(ValueError(
+                    f"request item shape {tuple(images.shape[1:])} != "
+                    f"expected {self._item_shape}"))
+            elif self._closed:
+                fut.set_exception(RuntimeError("extractor is closed"))
+            else:
+                self._q.put((images, fut))
         return fut
 
     def extract(self, images: np.ndarray) -> np.ndarray:
@@ -195,7 +202,11 @@ def _cli(argv=None):
 
         def do_POST(self):
             try:
-                raw = self.rfile.read(int(self.headers["Content-Length"]))
+                try:            # a missing/garbage header is a CLIENT error
+                    length = int(self.headers["Content-Length"])
+                except (TypeError, ValueError):
+                    raise ValueError("missing or invalid Content-Length")
+                raw = self.rfile.read(length)
                 images = np.load(io.BytesIO(raw), allow_pickle=False)
                 kp = server.extract(np.ascontiguousarray(images, np.float32))
                 out = io.BytesIO()

@@ -420,6 +420,7 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
     # lands) — measured ~90-150 ms/step of pure loop overhead before this.
     step = int(np.asarray(state.step))
     last_t, last_step = time.time(), step
+    last_saved = start                      # step of the newest checkpoint
 
     def advance(state, step):
         if fused_src:
@@ -441,12 +442,15 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
             # SURVEY §5 failure detection): point at the recovery path
             # instead of a bare backend traceback.
             if "UNAVAILABLE" in str(e) or "crashed" in str(e):
-                last = (step // t.checkpoint_every) * t.checkpoint_every
-                raise RuntimeError(
-                    f"device runtime failed near step {step}. Latest "
-                    f"checkpoint is step ~{last} in "
+                hint = (
+                    f"Latest checkpoint is step {last_saved} in "
                     f"{t.checkpoint_dir}/{cfg.name} — relaunch the same "
-                    f"command to resume from it.") from e
+                    f"command to resume from it." if last_saved is not None
+                    else f"No checkpoint has been written yet (first save at "
+                         f"step {t.checkpoint_every}) — a relaunch restarts "
+                         f"from step 0.")
+                raise RuntimeError(
+                    f"device runtime failed near step {step}. {hint}") from e
             raise
 
         if step % t.log_every == 0:
@@ -464,12 +468,22 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
             log.scalars(step, loss=lv, grad_norm=gn, frames_per_sec=fps)
 
         if step % t.eval_every == 0:
-            if eval_batch is None:          # fused path: sample once
-                eval_batch = next(iter(batches))
+            if fused_src and eval_batch is None:
+                # fused path: sample ONLY the viz rows, once. A full train
+                # batch here would pin e.g. 100 MB (pose256 b128) of HBM for
+                # the whole run that the preflight sized at 8 rows.
+                n_eval = min(8, t.batch_size)
+                kw = {}
                 if dp:
-                    # place on the mesh: extract()'s params are mesh-
-                    # replicated and jit rejects mixed device sets
-                    eval_batch = put(eval_batch)
+                    # replicate on the mesh: extract()'s params live there,
+                    # and under multi-process DP every process must hold the
+                    # same global (replicated) array — shard_batch would
+                    # wrongly treat this sample as a process-local shard
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    kw["out_shardings"] = NamedSharding(mesh, PartitionSpec())
+                eval_batch = jax.jit(
+                    lambda a, k: smp.sample(a, k, n_eval), **kw)(
+                        src_args, smp.step_key(step))
             imgs = eval_batch if not isinstance(eval_batch, tuple) \
                 else eval_batch[1]
             imgs = imgs[:8]
@@ -479,6 +493,7 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
 
         if step % t.checkpoint_every == 0:
             ckpt.save(mgr, step, state._asdict())
+            last_saved = step
 
     mgr.wait_until_finished()
     log.close()

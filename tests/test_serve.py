@@ -81,6 +81,32 @@ def test_batching_extractor_rejects_wrong_item_shape():
     srv.close()
 
 
+def test_batching_extractor_pins_item_shape_from_first_request():
+    """Without an explicit item_shape the first request pins it, so a
+    later mismatched request fails ALONE instead of poisoning the batch
+    concatenate for its co-travelers."""
+    srv = BatchingExtractor(_row_id_extract, max_batch=8, max_delay_ms=20)
+    ok_req = np.ones((1, 1, 2, 2), np.float32)
+    first = srv.submit(ok_req)
+    bad = srv.submit(np.zeros((1, 1, 4, 4), np.float32))   # mismatched
+    second = srv.submit(np.full((2, 1, 2, 2), 0.5, np.float32))
+    np.testing.assert_array_equal(first.result(timeout=10),
+                                  _row_id_extract(ok_req))
+    with pytest.raises(ValueError, match="item shape"):
+        bad.result(timeout=10)
+    assert second.result(timeout=10).shape == (2, 1, 2)
+    srv.close()
+
+
+def test_batching_extractor_rejects_scalar_and_1d():
+    srv = BatchingExtractor(_row_id_extract, max_batch=4, max_delay_ms=1)
+    with pytest.raises(ValueError, match="outside"):
+        srv.submit(np.zeros((), np.float32)).result(timeout=10)  # 0-d
+    with pytest.raises(ValueError, match="outside"):
+        srv.submit(np.zeros((3,), np.float32)).result(timeout=10)
+    srv.close()
+
+
 def test_batching_extractor_cancelled_future_does_not_poison_batch():
     """A caller cancelling its pending future must not strand the other
     requests coalesced into the same device batch."""
@@ -196,6 +222,46 @@ def test_single_artifact_loads_as_one_bucket_bundle():
     np.testing.assert_allclose(          # n=2 pads up to the b4 program
         np.asarray(ext(imgs)), np.asarray(direct(state.params, imgs)),
         rtol=0, atol=1e-6)
+
+
+def test_xla_only_forces_jnp_dispatch(monkeypatch):
+    """Inside kernels.xla_only() the dispatchers must take the pure-jnp
+    paths even when the backend claims TPU — the escape multi-platform
+    export relies on (a Mosaic pallas_call cannot lower for CPU)."""
+    from keypoints_tpu import kernels
+    from keypoints_tpu.ops.spatial_softmax import spatial_softmax as oracle
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    hm = jnp.asarray(np.random.RandomState(7).randn(2, 3, 8, 8), jnp.float32)
+    with kernels.xla_only():
+        assert not kernels._on_tpu()
+        # would die on CPU if routed to the Mosaic kernel
+        got = kernels.spatial_softmax(hm, variant="joint")
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(oracle(hm, variant="joint")),
+                               atol=1e-6)
+    assert kernels._on_tpu()             # context restored
+
+
+def test_multiplatform_export_runs_on_cpu(tmp_path):
+    """--platforms tpu cpu must yield an artifact that loads and runs on
+    the CPU backend (regression: the B=1 marginal Pallas routing would
+    bake a TPU-only Mosaic call into the 'portable' artifact)."""
+    from keypoints_tpu.export import export_extract, load_extract
+    from keypoints_tpu.training import build_model, init_state, \
+        make_extract_fn
+
+    cfg = _tiny_cfg()
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    data = export_extract(cfg, state.params, batch=1,
+                          platforms=("tpu", "cpu"))
+    ext = load_extract(data)
+    imgs = jnp.asarray(np.random.RandomState(5).rand(1, 1, 16, 16),
+                       jnp.float32)
+    direct = jax.jit(make_extract_fn(cfg, build_model(cfg)))
+    np.testing.assert_allclose(np.asarray(ext(imgs)),
+                               np.asarray(direct(state.params, imgs)),
+                               rtol=0, atol=1e-6)
 
 
 def test_http_server_end_to_end(bundle, tmp_path):
