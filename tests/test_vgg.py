@@ -55,6 +55,37 @@ def test_vgg_parity_with_torch():
                                        err_msg=name)
 
 
+def test_max_pool_2x2_backward_exact():
+    """The custom VJP must match BOTH the XLA select-and-scatter gradient
+    and torch's MaxPool2d gradient bit-for-bit — including tie plateaus
+    (quantized values, ReLU-style zeros), where the gradient must go to the
+    FIRST max in (dy, dx) row-major window order."""
+    from flax import linen as nn
+
+    from keypoints_tpu.models.vgg import max_pool_2x2
+
+    rs = np.random.RandomState(3)
+    smooth = rs.rand(2, 8, 8, 5).astype(np.float32)
+    ties = (rs.randint(0, 3, (2, 8, 8, 5)) * 0.5).astype(np.float32)
+    for x in (smooth, ties):
+        g = rs.rand(2, 4, 4, 5).astype(np.float32)
+
+        def run(pool):
+            y, vjp = jax.vjp(pool, jnp.asarray(x))
+            return np.asarray(y), np.asarray(vjp(jnp.asarray(g))[0])
+
+        y_ref, dx_ref = run(lambda v: nn.max_pool(v, (2, 2), strides=(2, 2)))
+        y_got, dx_got = run(max_pool_2x2)
+        np.testing.assert_array_equal(y_got, y_ref)
+        np.testing.assert_array_equal(dx_got, dx_ref)
+
+        tx = torch.tensor(x.transpose(0, 3, 1, 2), requires_grad=True)
+        ty = torch.nn.functional.max_pool2d(tx, 2, 2)
+        ty.backward(torch.tensor(g.transpose(0, 3, 1, 2)))
+        np.testing.assert_array_equal(
+            dx_got, tx.grad.numpy().transpose(0, 2, 3, 1))
+
+
 def test_perceptual_loss_properties():
     feat = make_feature_fn(layers=("relu1_2", "relu2_2"))
     loss = make_perceptual_loss(feat, ("relu1_2", "relu2_2"))
