@@ -152,10 +152,9 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
         yield buf.popleft()
 
 
-def image_folder_to_store(folder: str, out_path: str, size: int,
-                          channels: int = 3, limit: Optional[int] = None
-                          ) -> str:
-    """Decode an image folder (png/jpg) to a packed store — offline, one-time.
+def load_image_folder(folder: str, size: int, channels: int = 3,
+                      limit: Optional[int] = None) -> np.ndarray:
+    """Decode an image folder (png/jpg) → (N, C, size, size) uint8 frames.
 
     Uses cv2 for decode+resize (host, ahead of training — decode is NOT in the
     training loop; [B:5] keeps only augmentation on device).
@@ -176,5 +175,13 @@ def image_folder_to_store(folder: str, out_path: str, size: int,
         else:
             img = img[None]
         frames[i] = img
-    FrameStore.write(out_path, frames)
+    return frames
+
+
+def image_folder_to_store(folder: str, out_path: str, size: int,
+                          channels: int = 3, limit: Optional[int] = None
+                          ) -> str:
+    """Decode an image folder to a packed store — offline, one-time."""
+    FrameStore.write(out_path, load_image_folder(folder, size, channels,
+                                                 limit))
     return out_path
