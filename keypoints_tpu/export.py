@@ -131,11 +131,12 @@ def export_extract_bundle(cfg: Config, params, batches: Sequence[int],
 
 
 class BucketedExtract:
-    """Serve any batch size ≤ the largest bucket from a bundle.
+    """Serve any batch size from a bundle of shape-specialized programs.
 
     A request of n images runs on the smallest bucket ≥ n: the batch is
     zero-padded up (rows are independent through Ψ+soft-argmax, so padding
-    never perturbs real outputs) and the result sliced back to n.
+    never perturbs real outputs) and the result sliced back to n. Requests
+    larger than the largest bucket are split into max-bucket chunks.
     """
 
     def __init__(self, fns: dict[int, Callable], meta: dict):
@@ -147,9 +148,14 @@ class BucketedExtract:
         n = images.shape[0]
         bucket = next((b for b in self._fns if b >= n), None)
         if bucket is None:
-            raise ValueError(
-                f"batch {n} exceeds the largest exported bucket "
-                f"{self.max_batch}; split the request or re-export")
+            # larger than the largest bucket: split into full max-batch
+            # chunks + one covering tail (rows are independent, so this is
+            # exact). Keeps offline batch extraction through an artifact
+            # (e.g. video rendering) working at any n.
+            parts = [self(images[i:i + self.max_batch])
+                     for i in range(0, n, self.max_batch)]
+            return (np.concatenate(parts) if isinstance(parts[0], np.ndarray)
+                    else jnp.concatenate(parts))
         if n < bucket:
             # pad on the host when the request is a host array: one upload,
             # no extra zeros/concat device dispatches (each device call

@@ -182,8 +182,14 @@ def test_bundle_pads_to_covering_bucket(bundle):
         assert got.shape[0] == n
         np.testing.assert_allclose(got, np.asarray(direct(imgs)),
                                    rtol=0, atol=1e-6)
-    with pytest.raises(ValueError, match="exceeds the largest"):
-        ext(jnp.zeros((5, 1, 16, 16), jnp.float32))
+    # n > largest bucket: split into max-bucket chunks, exact
+    imgs9 = jnp.asarray(rs.rand(9, 1, 16, 16), jnp.float32)
+    got9 = np.asarray(ext(imgs9))
+    assert got9.shape[0] == 9
+    np.testing.assert_allclose(got9, np.asarray(direct(imgs9)),
+                               rtol=0, atol=1e-6)
+    got_np = np.asarray(ext(np.asarray(imgs9)))   # host-array input path
+    np.testing.assert_allclose(got_np, got9, rtol=0, atol=1e-6)
 
 
 def test_bundle_roundtrips_through_file_and_detection(bundle, tmp_path):
