@@ -85,6 +85,18 @@ def test_max_pool_2x2_backward_exact():
         np.testing.assert_array_equal(
             dx_got, tx.grad.numpy().transpose(0, 2, 3, 1))
 
+        # bf16 (the dtype the perceptual trunk actually runs): still
+        # bit-identical to the XLA select-and-scatter gradient
+        def run16(pool):
+            xb = jnp.asarray(x, jnp.bfloat16)
+            y, vjp = jax.vjp(pool, xb)
+            return np.asarray(vjp(jnp.asarray(g, jnp.bfloat16))[0],
+                              np.float32)
+
+        np.testing.assert_array_equal(
+            run16(max_pool_2x2),
+            run16(lambda v: nn.max_pool(v, (2, 2), strides=(2, 2))))
+
 
 def test_perceptual_loss_properties():
     feat = make_feature_fn(layers=("relu1_2", "relu2_2"))
