@@ -97,6 +97,10 @@ def _cli(argv=None):
     p.add_argument("--preset", required=True)
     p.add_argument("--checkpoint", default=None,
                    help="Orbax checkpoint dir; omit for random-init (smoke)")
+    p.add_argument("--artifact", default=None,
+                   help="exported StableHLO extractor (keypoints-export) — "
+                        "no checkpoint/model build needed; oversized frame "
+                        "batches split across buckets automatically")
     p.add_argument("--store", default=None,
                    help="frame store .npy (default: the preset's store)")
     p.add_argument("--folder", default=None,
@@ -123,22 +127,28 @@ def _cli(argv=None):
         frames = np.asarray(
             store.frames[args.start:args.start + args.frames])
 
-    state = init_state(cfg, jax.random.PRNGKey(cfg.train.seed))
-    if args.checkpoint:
-        mgr = ckpt.make_manager(args.checkpoint)
-        step, restored = ckpt.restore_latest(mgr, state._asdict())
-        if step is None:
-            raise SystemExit(f"no checkpoint found in {args.checkpoint}")
-        state = TrainState(**restored)
-        print(f"rendering with params from step {step}")
+    if args.artifact:
+        from keypoints_tpu.export import load_extract
+        fn = load_extract(args.artifact)
+        kp_count = fn.meta["num_keypoints"]
+    else:
+        state = init_state(cfg, jax.random.PRNGKey(cfg.train.seed))
+        if args.checkpoint:
+            mgr = ckpt.make_manager(args.checkpoint)
+            step, restored = ckpt.restore_latest(mgr, state._asdict())
+            if step is None:
+                raise SystemExit(f"no checkpoint found in {args.checkpoint}")
+            state = TrainState(**restored)
+            print(f"rendering with params from step {step}")
+        model = build_model(cfg)
+        extract = jax.jit(make_extract_fn(cfg, model))
+        fn = lambda imgs: extract(state.params, imgs)  # noqa: E731
+        kp_count = cfg.model.num_keypoints
 
-    model = build_model(cfg)
-    extract = jax.jit(make_extract_fn(cfg, model))
-    written = render_keypoint_video(
-        args.out, frames, lambda imgs: extract(state.params, imgs),
-        fps=args.fps, batch=args.batch)
+    written = render_keypoint_video(args.out, frames, fn,
+                                    fps=args.fps, batch=args.batch)
     print(f"wrote {written} frames to {args.out} "
-          f"({d.image_size}px, K={cfg.model.num_keypoints})")
+          f"({d.image_size}px, K={kp_count})")
 
 
 if __name__ == "__main__":

@@ -335,3 +335,44 @@ def test_video_cli_smoke(tmp_path, capsys):
                     "model.decoder_upsample=(True,True)",
                     "model.groups=4", "data.image_size=32"])
     assert "wrote 8 frames" in capsys.readouterr().out
+
+
+def test_video_from_artifact_and_npz_fallback(tmp_path, monkeypatch):
+    """Video rendering straight from an exported artifact (no model code),
+    with a frame batch bigger than the bucket (exercises bucket splitting);
+    plus the codec-free .npz fallback path."""
+    import builtins
+    import os
+    import sys
+
+    from keypoints_tpu import video as video_mod
+    from keypoints_tpu.export import export_extract, load_extract
+    from keypoints_tpu.training import init_state
+
+    cfg = _small(get_config("pong64"))
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    art = tmp_path / "x.shlo"
+    art.write_bytes(export_extract(cfg, state.params, batch=4))
+    ext = load_extract(str(art))
+
+    frames = (np.random.RandomState(0).rand(10, cfg.data.channels, 32, 32)
+              * 255).astype(np.uint8)
+    out = str(tmp_path / "a.mp4")
+    n = video_mod.render_keypoint_video(out, frames, ext, batch=10)
+    assert n == 10
+
+    # simulate a cv2-less host: import cv2 raises -> .npz fallback
+    real_import = builtins.__import__
+
+    def no_cv2(name, *a, **k):
+        if name == "cv2":
+            raise ImportError("no cv2")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_cv2)
+    sys.modules.pop("cv2", None)
+    out2 = str(tmp_path / "b.mp4")
+    n = video_mod.render_keypoint_video(out2, frames, ext, batch=4)
+    assert n == 10 and not os.path.exists(out2)
+    alt = np.load(str(tmp_path / "b.npz"))
+    assert alt["frames"].shape == (10, 32, 32, 3)
