@@ -137,6 +137,15 @@ ck2 = float(sum(np.abs(np.asarray(jax.device_get(l))).sum()
 assert int(np.asarray(jax.device_get(state2.step))) == 2
 print(f"FUSED_OK loss={l2:.9f} ck={ck2:.6f}", flush=True)
 
+# the fused-path EVAL sample (train.py): viz rows drawn mesh-REPLICATED —
+# a deterministic function of replicated inputs, so every process must
+# hold the same global value and be able to fetch it (a shard_batch here
+# would wrongly treat the sample as a process-local slab)
+ev = jax.jit(lambda a, k: smp.sample(a, k, 4),
+             out_shardings=NamedSharding(mesh, P()))((), smp.step_key(2))
+es = float(np.abs(np.asarray(jax.device_get(ev[1][:2]))).sum())
+print(f"EVAL_OK sum={es:.9f}", flush=True)
+
 # the grain-stream path end-to-end: each process reads its OWN index shard
 # at the LOCAL batch size (train.make_batch_iterator semantics), and
 # shard_batch must ASSEMBLE the per-host slabs into the global batch — not
@@ -197,6 +206,10 @@ def test_two_process_psum(tmp_path):
     fused = [next(ln for ln in o.splitlines() if ln.startswith("FUSED_OK"))
              for o in outs]
     assert fused[0] == fused[1], fused
+    # fused-path eval sample: mesh-replicated, identical on both processes
+    ev = [next(ln for ln in o.splitlines() if ln.startswith("EVAL_OK"))
+          for o in outs]
+    assert ev[0] == ev[1], ev
     # grain-stream path: per-host local shards assembled into the global
     # batch by shard_batch; training must stay in lockstep across hosts
     stream = [next(ln for ln in o.splitlines() if ln.startswith("STREAM_OK"))
