@@ -341,6 +341,9 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
         put = lambda b: b
 
     extract = jax.jit(make_extract_fn(cfg, model))
+    # full forward for the recon side-by-side eval grid (reference viz,
+    # SURVEY §2.1); 8-row program, compiled only if a logdir is active
+    forward = jax.jit(lambda p, s, tgt: model.apply({"params": p}, s, tgt))
     mgr = ckpt.make_manager(f"{t.checkpoint_dir}/{cfg.name}", t.max_to_keep)
     start, restored = ckpt.restore_latest(mgr, state._asdict())
     if start is not None:
@@ -490,6 +493,16 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
             kp = extract(state.params, imgs)
             over = overlay_keypoints(np.asarray(imgs), np.asarray(kp))
             log.images(step, "keypoints", image_grid(over))
+            if log.active:
+                # recon side-by-side (target | reconstruction), the
+                # reference's second training-viz artifact
+                src = eval_batch[0][:8] if isinstance(eval_batch, tuple) \
+                    else imgs
+                recon, _ = forward(state.params, src, imgs)
+                from keypoints_tpu.viz import side_by_side, to_hwc
+                log.images(step, "recon", image_grid(
+                    side_by_side(to_hwc(np.asarray(imgs)),
+                                 to_hwc(np.asarray(recon)))))
 
         if step % t.checkpoint_every == 0:
             ckpt.save(mgr, step, state._asdict())

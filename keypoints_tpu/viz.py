@@ -81,6 +81,11 @@ class Logger:
             from tensorboardX import SummaryWriter
             self._writer = SummaryWriter(logdir)
 
+    @property
+    def active(self) -> bool:
+        """True when a writer exists — gate expensive viz-only computation."""
+        return self._writer is not None
+
     def scalars(self, step: int, **kv: float) -> None:
         if self._writer:
             for k, v in kv.items():

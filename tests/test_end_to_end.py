@@ -376,3 +376,24 @@ def test_video_from_artifact_and_npz_fallback(tmp_path, monkeypatch):
     assert n == 10 and not os.path.exists(out2)
     alt = np.load(str(tmp_path / "b.npz"))
     assert alt["frames"].shape == (10, 32, 32, 3)
+
+
+def test_train_logs_keypoint_and_recon_images(tmp_path, monkeypatch):
+    """With a logdir, train() logs BOTH viz artifacts the reference showed:
+    keypoint overlays and target|reconstruction side-by-side grids."""
+    import os
+
+    from keypoints_tpu.train import train
+
+    monkeypatch.chdir(tmp_path)
+    cfg = _small(get_config("pong64"), **{
+        "data.dataset": "synthetic_dots", "train.steps": 2,
+        "train.log_every": 2, "train.eval_every": 2,
+        "train.checkpoint_every": 100})
+    train(cfg, logdir=str(tmp_path / "tb"))
+    events = [f for f in os.listdir(tmp_path / "tb")
+              if "tfevents" in f]
+    assert events, "no tensorboard event file written"
+    # both image tags present in the serialized events
+    raw = (tmp_path / "tb" / events[0]).read_bytes()
+    assert b"keypoints" in raw and b"recon" in raw
