@@ -146,6 +146,26 @@ def main():
                         "border", True)
     check("warp_field 256 wide", gotf, wantf, 1e-4)
 
+    # maxpool custom VJP (models/vgg.py): not a Pallas kernel, but its
+    # backward replaces XLA's select-and-scatter and must stay bit-exact
+    # on the real chip's lowering of both paths, ties included
+    from flax import linen as nn
+
+    from keypoints_tpu.models.vgg import max_pool_2x2
+    for dt, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        xq = jnp.asarray(rs.randint(0, 3, (8, 64, 64, 16)) * 0.5, dt)
+        gq = jnp.asarray(rs.rand(8, 32, 32, 16), dt)
+
+        def fb(pool, x=xq, g=gq):
+            y, vjp = jax.vjp(pool, x)
+            return vjp(g)[0]
+
+        check(f"maxpool_vjp ties {tag}",
+              jax.jit(lambda x: fb(max_pool_2x2))(xq),
+              jax.jit(lambda x: fb(
+                  lambda v: nn.max_pool(v, (2, 2), strides=(2, 2))))(xq),
+              0.0, rtol=0.0)
+
     _record(passed=N_CHECKS[0] - len(FAILED), total=N_CHECKS[0])
     if FAILED:
         print(f"\n{len(FAILED)} kernel(s) FAILED: {FAILED}", flush=True)
