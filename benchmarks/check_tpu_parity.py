@@ -156,14 +156,11 @@ def main():
         xq = jnp.asarray(rs.randint(0, 3, (8, 64, 64, 16)) * 0.5, dt)
         gq = jnp.asarray(rs.rand(8, 32, 32, 16), dt)
 
-        def fb(pool, x=xq, g=gq):
-            y, vjp = jax.vjp(pool, x)
-            return vjp(g)[0]
+        def fb(pool):
+            return jax.jit(lambda x, g: jax.vjp(pool, x)[1](g)[0])(xq, gq)
 
-        check(f"maxpool_vjp ties {tag}",
-              jax.jit(lambda x: fb(max_pool_2x2))(xq),
-              jax.jit(lambda x: fb(
-                  lambda v: nn.max_pool(v, (2, 2), strides=(2, 2))))(xq),
+        check(f"maxpool_vjp ties {tag}", fb(max_pool_2x2),
+              fb(lambda v: nn.max_pool(v, (2, 2), strides=(2, 2))),
               0.0, rtol=0.0)
 
     _record(passed=N_CHECKS[0] - len(FAILED), total=N_CHECKS[0])

@@ -19,21 +19,27 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def run_trace(logdir):
+def run_trace(logdir, preset="celeba128", batch=None, with_loss=False,
+              steps=20):
+    """Trace ``steps`` real train steps of ``preset`` (shared by the
+    celeba128 entry point here and benchmarks/profile_pose.py)."""
     from keypoints_tpu.configs import get_config
+    from keypoints_tpu.train import make_loss
     from keypoints_tpu.training import build_model, init_state, make_train_step
-    cfg = get_config("celeba128")
+    cfg = get_config(preset)
+    b = batch or cfg.train.batch_size
     state = init_state(cfg, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(cfg, build_model(cfg)),
+    loss = make_loss(cfg) if with_loss else None
+    step = jax.jit(make_train_step(cfg, build_model(cfg), loss=loss),
                    donate_argnums=(0,))
-    img = jnp.asarray(np.random.RandomState(0).rand(128, 3, 128, 128),
-                      jnp.float32)
+    s = cfg.data.image_size
+    img = jnp.asarray(np.random.RandomState(0).rand(b, 3, s, s), jnp.float32)
     k = jax.random.PRNGKey(1)
     state, m = step(state, img, k)          # compile
     np.asarray(m["loss"])
     jax.profiler.start_trace(logdir)
-    for i in range(20):
-        state, m = step(state, img, jax.random.fold_in(k, i))
+    for _ in range(steps):
+        state, m = step(state, img, k)      # aug varies via state.step fold-in
     np.asarray(m["loss"])
     jax.profiler.stop_trace()
 

@@ -33,7 +33,8 @@ from keypoints_tpu.parallel import (data_parallel_mesh, make_dp_fused_chunk,
                                     shard_batch)
 from keypoints_tpu.training import (TrainState, build_model, init_state,
                                     make_extract_fn, make_train_step)
-from keypoints_tpu.viz import Logger, image_grid, overlay_keypoints
+from keypoints_tpu.viz import (Logger, image_grid, overlay_keypoints,
+                               side_by_side, to_hwc)
 
 
 def make_batch_iterator(cfg: Config, start_step: int = 0) -> Iterator:
@@ -499,7 +500,6 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
                 src = eval_batch[0][:8] if isinstance(eval_batch, tuple) \
                     else imgs
                 recon, _ = forward(state.params, src, imgs)
-                from keypoints_tpu.viz import side_by_side, to_hwc
                 log.images(step, "recon", image_grid(
                     side_by_side(to_hwc(np.asarray(imgs)),
                                  to_hwc(np.asarray(recon)))))

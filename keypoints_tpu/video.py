@@ -20,7 +20,7 @@ path at ``--batch`` frames per dispatch; drawing happens on host.
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable
+from typing import Callable
 
 import numpy as np
 
@@ -39,7 +39,7 @@ def render_keypoint_video(out_path: str, frames_u8: np.ndarray,
     Writes .mp4 (mp4v) / .avi via cv2 when importable, else falls back to
     an .npz of overlay frames next to ``out_path`` (headless-safe).
     """
-    n, c, h, w = frames_u8.shape
+    n, _, h, w = frames_u8.shape
     writer, cv2 = None, None
     try:
         import cv2 as _cv2
