@@ -295,6 +295,17 @@ def preflight_hbm(step_chunk, state, src_args, rng, chunk: int,
     return info
 
 
+def _crash_hint(step: int, last_saved, cfg: Config) -> str:
+    """Operator-facing recovery message when the device runtime dies."""
+    t = cfg.train
+    where = (f"Latest checkpoint is step {last_saved} in "
+             f"{t.checkpoint_dir}/{cfg.name} — relaunch the same command "
+             f"to resume from it." if last_saved is not None
+             else f"No checkpoint has been written yet (first save at step "
+                  f"{t.checkpoint_every}) — a relaunch restarts from step 0.")
+    return f"device runtime failed near step {step}. {where}"
+
+
 def make_loss(cfg: Config):
     if cfg.train.loss == "perceptual":
         from keypoints_tpu.models.vgg import make_feature_fn
@@ -446,15 +457,7 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
             # SURVEY §5 failure detection): point at the recovery path
             # instead of a bare backend traceback.
             if "UNAVAILABLE" in str(e) or "crashed" in str(e):
-                hint = (
-                    f"Latest checkpoint is step {last_saved} in "
-                    f"{t.checkpoint_dir}/{cfg.name} — relaunch the same "
-                    f"command to resume from it." if last_saved is not None
-                    else f"No checkpoint has been written yet (first save at "
-                         f"step {t.checkpoint_every}) — a relaunch restarts "
-                         f"from step 0.")
-                raise RuntimeError(
-                    f"device runtime failed near step {step}. {hint}") from e
+                raise RuntimeError(_crash_hint(step, last_saved, cfg)) from e
             raise
 
         if step % t.log_every == 0:

@@ -397,3 +397,17 @@ def test_train_logs_keypoint_and_recon_images(tmp_path, monkeypatch):
     # both image tags present in the serialized events
     raw = (tmp_path / "tb" / events[0]).read_bytes()
     assert b"keypoints" in raw and b"recon" in raw
+
+
+def test_crash_hint_messages():
+    """The recovery hint must not point at a checkpoint that was never
+    written (pre-first-save crash), and must name the real latest step."""
+    from keypoints_tpu.train import _crash_hint
+
+    cfg = get_config("pong64")
+    fresh = _crash_hint(70, None, cfg)
+    assert "No checkpoint has been written yet" in fresh
+    assert "restarts from step 0" in fresh
+    saved = _crash_hint(1234, 1000, cfg)
+    assert "step 1000" in saved and "pong64" in saved
+    assert "relaunch the same command" in saved
