@@ -317,3 +317,17 @@ def test_http_server_end_to_end(bundle, tmp_path):
         import json
         meta = json.loads(resp.read())
     assert meta["batches"] == [1, 4]
+
+
+def test_export_cli_smoke(tmp_path, capsys):
+    """keypoints-export end-to-end: random-init params -> artifact -> reload."""
+    from keypoints_tpu.export import _cli
+
+    out = str(tmp_path / "e.shlo")
+    _cli(["--preset", "pong64", "--batch", "2", "--out", out, "--override",
+          "model.encoder_filters=(4,8)", "model.encoder_strides=(2,2)",
+          "model.decoder_filters=(8,4)", "model.decoder_upsample=(True,True)",
+          "model.groups=2", "model.num_keypoints=3", "data.image_size=16",
+          "train.compute_dtype=float32"])
+    printed = capsys.readouterr().out
+    assert "wrote" in printed and "reload OK" in printed
