@@ -43,8 +43,15 @@ def evaluate(cfg: Config, params, src, tgt,
     if true_positions is not None:
         d = np.linalg.norm(
             np.asarray(true_positions)[:, :, None] - kp[:, None], axis=-1)
-        out["locking_median"] = float(np.median(d.min(axis=-1)))
-        out["locking_mean"] = float(np.mean(d.min(axis=-1)))
+        dm = d.min(axis=-1)        # each gt landmark → nearest predicted kp
+        out["locking_median"] = float(np.median(dm))
+        out["locking_mean"] = float(np.mean(dm))
+        # PCK (percentage of correct keypoints): fraction of ground-truth
+        # landmarks with a predicted keypoint within t. Coordinates span
+        # [-1, 1], so t=0.1 is 5% of the image side (the common PCK@0.05
+        # convention expressed in this repo's units).
+        out["pck@0.1"] = float(np.mean(dm <= 0.1))
+        out["pck@0.2"] = float(np.mean(dm <= 0.2))
     return out
 
 

@@ -93,6 +93,14 @@ def test_evaluate_metrics():
     for k in ("eval_loss", "keypoint_spread", "keypoint_in_bounds",
               "locking_median", "locking_mean"):
         assert np.isfinite(m[k]), k
+    assert 0.0 <= m["pck@0.1"] <= m["pck@0.2"] <= 1.0
+
+    # PCK sanity: ground truth placed exactly at the predicted keypoints
+    # must score 1.0 at both thresholds
+    kp = np.asarray(jax.jit(lambda p, s: build_model(cfg).apply(
+        {"params": p}, s, method="extract_keypoints"))(state.params, tgt))
+    exact = evaluate(cfg, state.params, src, tgt, true_positions=kp)
+    assert exact["pck@0.1"] == 1.0 and exact["locking_median"] < 1e-5
 
     # parity helper: golden == the model itself → parity 0
     from keypoints_tpu.training import make_extract_fn
