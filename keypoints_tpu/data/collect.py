@@ -129,11 +129,21 @@ def _cli(argv=None):
 
     enable_compile_cache()
     p = argparse.ArgumentParser(
-        description="Collect Atari (or scripted-Pong fallback) rollouts "
-                    "into a packed FrameStore with a temporal-pair index")
+        description="Build a packed FrameStore with a temporal-pair index: "
+                    "from Atari rollouts (or the scripted-Pong fallback), "
+                    "or from video footage with --video")
     p.add_argument("--out", required=True, help="output store path")
     p.add_argument("--env", default="ALE/Pong-v5",
                    help="gym env id; 'none' forces the scripted fallback")
+    p.add_argument("--video", default=None, metavar="PATH",
+                   help="ingest a video file or folder of videos instead of "
+                        "collecting rollouts (each file = one episode)")
+    p.add_argument("--stride", type=int, default=1,
+                   help="with --video: keep every stride-th source frame")
+    p.add_argument("--channels", type=int, default=3, choices=(1, 3),
+                   help="with --video: stored channels (1 = grayscale)")
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="with --video: cap stored frames per video file")
     p.add_argument("--episodes", type=int, default=20)
     p.add_argument("--steps-per-episode", type=int, default=200)
     p.add_argument("--size", type=int, default=64)
@@ -141,6 +151,15 @@ def _cli(argv=None):
                    help="temporal pair offset (frame_t, frame_{t+delta})")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+
+    if args.video is not None:
+        from keypoints_tpu.data.records import video_to_store
+        path = video_to_store(args.video, args.out, args.size, args.channels,
+                              args.stride, args.delta, args.max_frames)
+        store = FrameStore(path)
+        print(f"wrote {path}: {store.frames.shape[0]} frames "
+              f"{store.frames.shape[1:]}, {len(store.pairs)} pairs")
+        return
 
     env = None if args.env.lower() == "none" else args.env
     using_ale = env is not None and _ale_available(env)

@@ -185,3 +185,72 @@ def image_folder_to_store(folder: str, out_path: str, size: int,
     FrameStore.write(out_path, load_image_folder(folder, size, channels,
                                                  limit))
     return out_path
+
+
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm", ".mpg", ".mpeg")
+
+
+def load_video(path: str, size: int, channels: int = 3, stride: int = 1,
+               max_frames: Optional[int] = None) -> np.ndarray:
+    """Decode one video file → (N, C, size, size) uint8 frames.
+
+    Keeps every ``stride``-th frame. Non-square frames are center-cropped to
+    the largest square before the resize (video footage is rarely square;
+    stretching would distort the geometry the keypoints are meant to find).
+    Host-side, ahead of training, like ``load_image_folder`` ([B:5] keeps
+    only augmentation on device).
+    """
+    import cv2
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cv2 cannot open video: {path}")
+    frames, i = [], 0
+    while max_frames is None or len(frames) < max_frames:
+        ok, img = cap.read()                               # BGR (H, W, 3)
+        if not ok:
+            break
+        if i % stride == 0:
+            h, w = img.shape[:2]
+            s = min(h, w)
+            y0, x0 = (h - s) // 2, (w - s) // 2
+            img = img[y0:y0 + s, x0:x0 + s]
+            img = cv2.resize(img, (size, size),
+                             interpolation=cv2.INTER_AREA)
+            if channels == 3:
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).transpose(2, 0, 1)
+            else:
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)[None]
+            frames.append(img)
+        i += 1
+    cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {path}")
+    return np.stack(frames).astype(np.uint8)
+
+
+def video_to_store(source: str, out_path: str, size: int, channels: int = 3,
+                   stride: int = 1, delta: int = 1,
+                   max_frames_per_video: Optional[int] = None) -> str:
+    """Decode video footage to a packed store with a temporal-pair index.
+
+    ``source`` is one video file or a folder of them (sorted by name). Each
+    file is one episode: the (i, i+delta) pair index never crosses a file
+    boundary, so temporal-mode training (Transporter) sees only real motion
+    pairs; warp-mode datasets simply ignore the index. ``delta`` counts
+    STORED frames (i.e. ``stride`` source frames apart per unit). This is
+    the real-footage on-ramp for the pose/Atari-style video datasets
+    (SURVEY.md §2.1), sibling to ``image_folder_to_store``.
+    """
+    if os.path.isdir(source):
+        paths = sorted(os.path.join(source, f) for f in os.listdir(source)
+                       if f.lower().endswith(VIDEO_EXTS))
+        if not paths:
+            raise FileNotFoundError(f"no video files in {source}")
+    else:
+        paths = [source]
+    clips = [load_video(p, size, channels, stride, max_frames_per_video)
+             for p in paths]
+    frames = np.concatenate(clips)
+    pairs = episode_pairs([len(c) for c in clips], delta)
+    FrameStore.write(out_path, frames, pairs)
+    return out_path

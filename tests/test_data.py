@@ -451,3 +451,49 @@ def test_stream_sharding_multi_host():
         finally:
             device_mod.fits_in_memory = orig_fits
             jax.process_count, jax.process_index = orig_count, orig_index
+
+
+def _write_test_video(path, n_frames, w=48, h=32, value0=20):
+    """MJPG clip of solid-gray frames with per-frame brightness value0+20i."""
+    import cv2
+    wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"MJPG"),
+                         10, (w, h))
+    if not wr.isOpened():
+        pytest.skip("cv2 video encoding unavailable")
+    for i in range(n_frames):
+        wr.write(np.full((h, w, 3), value0 + 20 * i, np.uint8))
+    wr.release()
+
+
+def test_video_to_store_episodes_and_content(tmp_path):
+    """Video folder → store: per-file episode pairs, center-crop, stride."""
+    from keypoints_tpu.data.records import video_to_store
+    folder = tmp_path / "clips"
+    folder.mkdir()
+    _write_test_video(folder / "a.avi", 6, value0=20)
+    _write_test_video(folder / "b.avi", 4, value0=120)
+    path = video_to_store(str(folder), str(tmp_path / "vid.npy"), size=16,
+                          stride=2, delta=1)
+    store = FrameStore(path)
+    # stride 2 keeps frames 0,2,4 of a (3) and 0,2 of b (2)
+    assert store.frames.shape == (5, 3, 16, 16)
+    assert store.frames.dtype == np.uint8
+    # pairs never cross the file boundary: (0,1),(1,2) in a, (3,4) in b
+    assert [tuple(p) for p in store.pairs] == [(0, 1), (1, 2), (3, 4)]
+    # content survives the lossy codec: solid-gray levels within ~6/255
+    means = store.frames.reshape(5, -1).mean(axis=1)
+    assert np.allclose(means, [20, 60, 100, 120, 160], atol=6)
+
+
+def test_video_to_store_grayscale_and_cli(tmp_path, capsys):
+    """--video mode of keypoints-collect; 1-channel path; max-frames cap."""
+    from keypoints_tpu.data.collect import _cli
+    clip = tmp_path / "clip.avi"
+    _write_test_video(clip, 5)
+    out = str(tmp_path / "vid.npy")
+    _cli(["--out", out, "--video", str(clip), "--size", "16",
+          "--channels", "1", "--max-frames", "3", "--delta", "2"])
+    store = FrameStore(out)
+    assert store.frames.shape == (3, 1, 16, 16)
+    assert [tuple(p) for p in store.pairs] == [(0, 2)]
+    assert "wrote" in capsys.readouterr().out
