@@ -65,6 +65,9 @@ class TrainConfig:
     checkpoint_every: int = 1000
     checkpoint_dir: str = "checkpoints"
     max_to_keep: int = 3
+    # also keep a best-by-eval-loss checkpoint in {checkpoint_dir}/{name}_best
+    # (the reference's best/latest run-dir layout)
+    save_best: bool = True
     data_parallel: bool = True        # shard batch over all visible devices
 
 

@@ -295,6 +295,40 @@ def preflight_hbm(step_chunk, state, src_args, rng, chunk: int,
     return info
 
 
+class BestTracker:
+    """Best-by-eval-loss checkpoint alongside latest (SURVEY §2.1
+    checkpointing: the reference keeps a best/latest run-dir layout).
+
+    Saves the full train state to its own one-slot Orbax manager only when
+    ``eval_loss`` improves, and records ``{step, eval_loss}`` in ``best.json``
+    so a resumed run never overwrites a better checkpoint with a worse one.
+    """
+
+    def __init__(self, directory: str):
+        import json
+        self.dir = directory
+        self._mgr = None
+        self.best, self.step = float("inf"), None
+        meta = os.path.join(directory, "best.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            self.best, self.step = float(m["eval_loss"]), int(m["step"])
+
+    def update(self, step: int, eval_loss: float, state) -> bool:
+        import json
+        if not eval_loss < self.best:       # NaN also fails: never "best"
+            return False
+        self.best, self.step = eval_loss, step
+        if self._mgr is None:               # lazy: only runs that improve pay
+            self._mgr = ckpt.make_manager(self.dir, max_to_keep=1)
+        ckpt.save(self._mgr, step, state._asdict())
+        self._mgr.wait_until_finished()     # rare (improvements only); the
+        with open(os.path.join(self.dir, "best.json"), "w") as f:  # json must
+            json.dump({"step": step, "eval_loss": eval_loss}, f)   # match
+        return True
+
+
 def _crash_hint(step: int, last_saved, cfg: Config) -> str:
     """Operator-facing recovery message when the device runtime dies."""
     t = cfg.train
@@ -429,6 +463,9 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
                                 donate_argnums=(0,)))
 
     eval_batch = None
+    best = (BestTracker(f"{t.checkpoint_dir}/{cfg.name}_best")
+            if t.save_best else None)
+    eval_pair = eval_loss_fn = None
     # the step counter is tracked on the HOST: fetching state.step every
     # iteration is a ~28 ms D2H round-trip through this tunnel AND a
     # pipeline barrier (the next step can't be dispatched until the fetch
@@ -506,6 +543,33 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
                 log.images(step, "recon", image_grid(
                     side_by_side(to_hwc(np.asarray(imgs)),
                                  to_hwc(np.asarray(recon)))))
+            if best is not None:
+                if eval_pair is None:
+                    # a FIXED held-out pair scored with the training
+                    # objective: temporal batches as-is; warp-mode frames
+                    # through the training warp once (fixed key), so the
+                    # metric matches what the step optimizes
+                    if isinstance(eval_batch, tuple):
+                        eval_pair = (eval_batch[0][:8], eval_batch[1][:8])
+                    elif cfg.data.pair_mode == "warp":
+                        from keypoints_tpu.data.augment import make_pair
+                        from keypoints_tpu.training import warp_config
+                        eval_pair = jax.jit(
+                            lambda k, f: make_pair(k, f, warp_config(cfg)))(
+                            jax.random.PRNGKey(t.seed + 9), eval_batch[:8])
+                    else:
+                        eval_pair = (imgs, imgs)
+                    from keypoints_tpu.losses import l2_loss
+                    lf = loss or l2_loss
+                    eval_loss_fn = jax.jit(
+                        lambda p, s, t_: lf(
+                            model.apply({"params": p}, s, t_)[0], t_))
+                el = float(np.asarray(
+                    eval_loss_fn(state.params, *eval_pair)))
+                log.scalars(step, eval_loss=el)
+                if best.update(step, el, state):
+                    print(f"step {step:6d} new best eval_loss {el:.5f} "
+                          f"-> {best.dir}", flush=True)
 
         if step % t.checkpoint_every == 0:
             ckpt.save(mgr, step, state._asdict())

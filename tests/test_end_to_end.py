@@ -411,3 +411,43 @@ def test_crash_hint_messages():
     saved = _crash_hint(1234, 1000, cfg)
     assert "step 1000" in saved and "pong64" in saved
     assert "relaunch the same command" in saved
+
+
+def test_best_tracker_logic(tmp_path):
+    """BestTracker saves only on improvement; best.json survives resume."""
+    from collections import namedtuple
+    from keypoints_tpu.train import BestTracker
+    S = namedtuple("S", "params step")
+    s = S(params=np.zeros(3, np.float32), step=np.int32(0))
+    bt = BestTracker(str(tmp_path / "b"))
+    assert bt.update(1, 0.5, s)
+    assert not bt.update(2, 0.6, s)          # worse: no save
+    assert not bt.update(3, float("nan"), s)  # NaN: never best
+    assert bt.update(4, 0.4, s)
+    bt2 = BestTracker(str(tmp_path / "b"))   # fresh process / resume
+    assert bt2.best == 0.4 and bt2.step == 4
+    assert not bt2.update(5, 0.45, s)        # resumed best still wins
+
+
+def test_train_keeps_best_checkpoint(tmp_path, monkeypatch):
+    """train() writes a restorable best-by-eval-loss checkpoint + best.json."""
+    import json
+    from keypoints_tpu import checkpoint as ckpt_mod
+    from keypoints_tpu.train import train
+    from keypoints_tpu.training import init_state
+    monkeypatch.chdir(tmp_path)
+    cfg = _small(get_config("pong64"), **{
+        "data.dataset": "synthetic_dots",
+        "train.steps": 8, "train.log_every": 4, "train.eval_every": 4,
+        "train.checkpoint_every": 8, "train.checkpoint_dir": "ck"})
+    train(cfg)
+    best_dir = tmp_path / "ck" / f"{cfg.name}_best"
+    with open(best_dir / "best.json") as f:
+        meta = json.load(f)
+    assert np.isfinite(meta["eval_loss"]) and meta["step"] in (4, 8)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    mgr = ckpt_mod.make_manager(str(best_dir))
+    step, restored = ckpt_mod.restore_latest(mgr, state._asdict())
+    assert step == meta["step"]
+    assert any(np.asarray(l).size
+               for l in jax.tree_util.tree_leaves(restored["params"]))
