@@ -132,10 +132,36 @@ def bench_extract(batch_size: int = 256, warmup: int = 5, iters: int = 30):
 FLOOR_MS_B128 = 18.0
 
 
+def _probe_backend(timeout_s: float = 180.0, devices_fn=None):
+    """→ jax.devices(), or None if the backend doesn't answer in time.
+
+    The remote TPU backend can go fully unresponsive (``jax.devices()``
+    hangs indefinitely — observed during the 2026-08-18 axon outage), which
+    would hang the driver's bench run. Probe on a daemon thread so the
+    bench can emit an honest error line and exit instead.
+    """
+    import threading
+    devices_fn = devices_fn or jax.devices
+    out: list = []
+    t = threading.Thread(target=lambda: out.append(devices_fn()),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return out[0] if out else None
+
+
 def main():
     from keypoints_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()     # warm reruns skip the multi-minute TPU compile
-    platform = jax.devices()[0].platform
+    devs = _probe_backend()
+    if devs is None:
+        print(json.dumps({
+            "metric": "train_frames_per_sec_per_chip_128px",
+            "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
+            "extra": {"error": "device backend unreachable (probe timed "
+                               "out) — not a measurement"}}))
+        os._exit(0)            # the probe thread is stuck inside the backend
+    platform = devs[0].platform
     batch = 128 if platform != "cpu" else 16
     iters = 30 if platform != "cpu" else 5
     # headline: the shipped loop's dispatch pattern (train() scans a chunk

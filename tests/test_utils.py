@@ -180,3 +180,18 @@ def test_capped_chunk_divides_cadence():
     for g in (500, 600, 303, 997, 120, 7):
         c = capped_chunk(g)
         assert 1 <= c <= 100 and g % c == 0
+
+
+def test_bench_backend_probe():
+    """bench.py's watchdog: answers promptly on a live backend, None on a
+    hung one (the 2026-08-18 axon outage mode) instead of hanging forever."""
+    import importlib.util
+    import os
+    import time
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert bench._probe_backend(timeout_s=30) is not None      # live (CPU)
+    assert bench._probe_backend(timeout_s=0.2,
+                                devices_fn=lambda: time.sleep(30)) is None
