@@ -73,13 +73,22 @@ def image_grid(images: np.ndarray, cols: int = 4) -> np.ndarray:
 
 
 class Logger:
-    """Thin tensorboardX wrapper: scalars + image grids, no-op without a dir."""
+    """Thin tensorboardX wrapper: scalars + image grids, no-op without a dir.
+
+    Scalars are ALSO appended to ``{logdir}/metrics.jsonl`` (one
+    ``{"step": N, ...}`` object per line) so training curves are readable
+    without tensorboard — headless analysis, benchmark artifacts, plotting.
+    """
 
     def __init__(self, logdir: str | None):
-        self._writer = None
+        self._writer = self._jsonl = None
         if logdir:
             from tensorboardX import SummaryWriter
             self._writer = SummaryWriter(logdir)
+            import os
+            os.makedirs(logdir, exist_ok=True)
+            self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a",
+                               buffering=1)   # line-buffered: live tail -f
 
     @property
     def active(self) -> bool:
@@ -90,6 +99,11 @@ class Logger:
         if self._writer:
             for k, v in kv.items():
                 self._writer.add_scalar(k, float(v), step)
+        if self._jsonl:
+            import json
+            self._jsonl.write(json.dumps(
+                {"step": int(step), **{k: float(v) for k, v in kv.items()}})
+                + "\n")
 
     def images(self, step: int, tag: str, grid_hwc: np.ndarray) -> None:
         if self._writer:
@@ -98,3 +112,5 @@ class Logger:
     def close(self) -> None:
         if self._writer:
             self._writer.close()
+        if self._jsonl:
+            self._jsonl.close()

@@ -147,6 +147,11 @@ def test_logger_writes_tensorboard_events(tmp_path):
     log.close()
     files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
     assert files and files[0].stat().st_size > 0
+    # scalars also land in metrics.jsonl (headless training curves)
+    import json
+    lines = [json.loads(l) for l in
+             (tmp_path / "tb" / "metrics.jsonl").read_text().splitlines()]
+    assert lines == [{"step": 1, "loss": 0.5, "fps": 100.0}]
     # no-op logger never writes
     Logger(None).scalars(1, loss=1.0)
 
