@@ -142,9 +142,16 @@ def _probe_backend(timeout_s: float = 180.0, devices_fn=None):
     """
     import threading
     devices_fn = devices_fn or jax.devices
+
     out: list = []
-    t = threading.Thread(target=lambda: out.append(devices_fn()),
-                         daemon=True)
+
+    def probe():
+        try:
+            out.append(devices_fn())
+        except Exception as e:            # prompt failure ≠ hang: report it
+            out.append(e)
+
+    t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
     return out[0] if out else None
@@ -154,13 +161,15 @@ def main():
     from keypoints_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()     # warm reruns skip the multi-minute TPU compile
     devs = _probe_backend()
-    if devs is None:
+    if devs is None or isinstance(devs, Exception):
+        why = ("probe timed out" if devs is None
+               else f"backend init failed: {devs!r}")
         print(json.dumps({
             "metric": "train_frames_per_sec_per_chip_128px",
             "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
-            "extra": {"error": "device backend unreachable (probe timed "
-                               "out) — not a measurement"}}))
-        os._exit(0)            # the probe thread is stuck inside the backend
+            "extra": {"error": f"device backend unreachable ({why}) — "
+                               f"not a measurement"}}))
+        os._exit(0)            # the probe thread may be stuck in the backend
     platform = devs[0].platform
     batch = 128 if platform != "cpu" else 16
     iters = 30 if platform != "cpu" else 5

@@ -157,8 +157,9 @@ def _cli(argv=None):
         path = video_to_store(args.video, args.out, args.size, args.channels,
                               args.stride, args.delta, args.max_frames)
         store = FrameStore(path)
+        n_pairs = 0 if store.pairs is None else len(store.pairs)
         print(f"wrote {path}: {store.frames.shape[0]} frames "
-              f"{store.frames.shape[1:]}, {len(store.pairs)} pairs")
+              f"{store.frames.shape[1:]}, {n_pairs} pairs")
         return
 
     env = None if args.env.lower() == "none" else args.env

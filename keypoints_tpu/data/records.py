@@ -53,7 +53,8 @@ def episode_pairs(episode_lengths: list[int], delta: int = 1) -> np.ndarray:
         for i in range(n - delta):
             out.append((base + i, base + i + delta))
         base += n
-    return np.asarray(out, np.int32)
+    # keep the (N, 2) contract even when no episode spans delta
+    return np.asarray(out, np.int32).reshape(-1, 2)
 
 
 def _to_device_float(batch_u8: np.ndarray) -> jnp.ndarray:
@@ -201,6 +202,8 @@ def load_video(path: str, size: int, channels: int = 3, stride: int = 1,
     only augmentation on device).
     """
     import cv2
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cv2 cannot open video: {path}")
@@ -252,5 +255,13 @@ def video_to_store(source: str, out_path: str, size: int, channels: int = 3,
              for p in paths]
     frames = np.concatenate(clips)
     pairs = episode_pairs([len(c) for c in clips], delta)
+    if len(pairs) == 0:
+        # every clip shorter than delta+1 stored frames: a zero-row index
+        # would only surface as an opaque device error later — omit it so
+        # temporal-mode use fails with pair_stream's explicit message, and
+        # say so now (warp-mode training doesn't need pairs at all)
+        print(f"note: no temporal pairs (every clip < {delta + 1} stored "
+              f"frames); writing a frames-only store", flush=True)
+        pairs = None
     FrameStore.write(out_path, frames, pairs)
     return out_path

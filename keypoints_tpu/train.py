@@ -240,7 +240,8 @@ def _tree_bytes(tree) -> int:
 
 def preflight_hbm(step_chunk, state, src_args, rng, chunk: int,
                   extract, eval_image_shape, limit: int | None = None,
-                  margin: int = PREFLIGHT_MARGIN_BYTES) -> dict | None:
+                  margin: int = PREFLIGHT_MARGIN_BYTES,
+                  eval_loss_fn=None) -> dict | None:
     """Compile-time total-HBM preflight for the fused train loop.
 
     A store that fits HBM is not a LOOP that fits: the step program's
@@ -275,6 +276,13 @@ def preflight_hbm(step_chunk, state, src_args, rng, chunk: int,
     ex_imgs = jax.ShapeDtypeStruct(eval_image_shape, jnp.float32)
     ex_peak = _peak(extract.lower(state.params, ex_imgs)
                     .compile().memory_analysis())
+    if eval_loss_fn is not None:
+        # best-checkpoint scoring (train.save_best) runs a full forward —
+        # including the VGG trunk for perceptual presets — in the same eval
+        # phase; account for it or it is the one unpreflighted program
+        ex_peak = max(ex_peak,
+                      _peak(eval_loss_fn.lower(state.params, ex_imgs, ex_imgs)
+                            .compile().memory_analysis()))
     resident_extra = (_tree_bytes(src_args) + _tree_bytes(state.opt_state)
                       + int(np.prod(eval_image_shape)) * 4)
     eval_peak = ex_peak + resident_extra
@@ -300,8 +308,13 @@ class BestTracker:
     checkpointing: the reference keeps a best/latest run-dir layout).
 
     Saves the full train state to its own one-slot Orbax manager only when
-    ``eval_loss`` improves, and records ``{step, eval_loss}`` in ``best.json``
-    so a resumed run never overwrites a better checkpoint with a worse one.
+    ``eval_loss`` improves. ``best.json`` is replaced atomically BEFORE the
+    (async) checkpoint write and carries the previous entry, so every
+    single-crash interleaving reconciles at restart: whichever step the
+    manager actually retained is matched against the current or previous
+    entry, and a later, worse value can never evict a strictly better
+    checkpoint. The save itself only blocks on the device→host fetch
+    (Orbax's async path), not the disk write — no train-loop stall.
     """
 
     def __init__(self, directory: str):
@@ -313,20 +326,38 @@ class BestTracker:
         if os.path.exists(meta):
             with open(meta) as f:
                 m = json.load(f)
-            self.best, self.step = float(m["eval_loss"]), int(m["step"])
+            self._mgr = ckpt.make_manager(directory, max_to_keep=1)
+            saved = self._mgr.latest_step()
+            for entry in (m, m.get("previous")):
+                # json is written just before the async save, so the
+                # retained checkpoint is described by the current entry
+                # (normal) or the previous one (crash before finalize)
+                if entry is not None and entry["step"] == saved:
+                    self.best = float(entry["eval_loss"])
+                    self.step = int(entry["step"])
+                    break
 
     def update(self, step: int, eval_loss: float, state) -> bool:
         import json
         if not eval_loss < self.best:       # NaN also fails: never "best"
             return False
+        prev = ({"step": self.step, "eval_loss": self.best}
+                if self.step is not None else None)
         self.best, self.step = eval_loss, step
         if self._mgr is None:               # lazy: only runs that improve pay
             self._mgr = ckpt.make_manager(self.dir, max_to_keep=1)
+        meta = {"step": step, "eval_loss": eval_loss, "previous": prev}
+        tmp = os.path.join(self.dir, "best.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.dir, "best.json"))
         ckpt.save(self._mgr, step, state._asdict())
-        self._mgr.wait_until_finished()     # rare (improvements only); the
-        with open(os.path.join(self.dir, "best.json"), "w") as f:  # json must
-            json.dump({"step": step, "eval_loss": eval_loss}, f)   # match
         return True
+
+    def finish(self) -> None:
+        """Block until any in-flight async save lands (call at loop exit)."""
+        if self._mgr is not None:
+            self._mgr.wait_until_finished()
 
 
 def _crash_hint(step: int, last_saved, cfg: Config) -> str:
@@ -390,6 +421,18 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
     # full forward for the recon side-by-side eval grid (reference viz,
     # SURVEY §2.1); 8-row program, compiled only if a logdir is active
     forward = jax.jit(lambda p, s, tgt: model.apply({"params": p}, s, tgt))
+    # best-checkpoint scoring: full forward + the training objective on a
+    # fixed 8-row pair; built here so preflight_hbm can account for it
+    best = (BestTracker(f"{t.checkpoint_dir}/{cfg.name}_best")
+            if t.save_best else None)
+    eval_pair = None
+    if best is not None:
+        from keypoints_tpu.losses import l2_loss
+        _lf = loss or l2_loss
+        eval_loss_fn = jax.jit(
+            lambda p, s, t_: _lf(model.apply({"params": p}, s, t_)[0], t_))
+    else:
+        eval_loss_fn = None
     mgr = ckpt.make_manager(f"{t.checkpoint_dir}/{cfg.name}", t.max_to_keep)
     start, restored = ckpt.restore_latest(mgr, state._asdict())
     if start is not None:
@@ -441,13 +484,27 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
             step_chunk = jax.jit(run_chunk, static_argnums=(3,),
                                  donate_argnums=(0,))
             src_args = smp.args()
+
+        def sample_replicated(key, n):
+            """Draw n rows from the fused source, mesh-REPLICATED under DP:
+            extract/forward consume it against replicated params, and under
+            multi-process DP every host must hold the same global array
+            (shard_batch would wrongly treat it as a process-local shard)."""
+            kw = {}
+            if dp:
+                from jax.sharding import NamedSharding, PartitionSpec
+                kw["out_shardings"] = NamedSharding(mesh, PartitionSpec())
+            return jax.jit(lambda a, k: smp.sample(a, k, n), **kw)(
+                src_args, key)
+
         batch_iter = None
         if jax.default_backend() == "tpu":
             d = cfg.data
             info = preflight_hbm(
                 step_chunk, state, src_args, rng, chunk, extract,
                 eval_image_shape=(min(8, t.batch_size), d.channels,
-                                  d.image_size, d.image_size))
+                                  d.image_size, d.image_size),
+                eval_loss_fn=eval_loss_fn)
             if info:
                 gib = 1 << 30
                 print(f"HBM preflight: step peak "
@@ -463,9 +520,6 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
                                 donate_argnums=(0,)))
 
     eval_batch = None
-    best = (BestTracker(f"{t.checkpoint_dir}/{cfg.name}_best")
-            if t.save_best else None)
-    eval_pair = eval_loss_fn = None
     # the step counter is tracked on the HOST: fetching state.step every
     # iteration is a ~28 ms D2H round-trip through this tunnel AND a
     # pipeline barrier (the next step can't be dispatched until the fetch
@@ -516,18 +570,8 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
                 # fused path: sample ONLY the viz rows, once. A full train
                 # batch here would pin e.g. 100 MB (pose256 b128) of HBM for
                 # the whole run that the preflight sized at 8 rows.
-                n_eval = min(8, t.batch_size)
-                kw = {}
-                if dp:
-                    # replicate on the mesh: extract()'s params live there,
-                    # and under multi-process DP every process must hold the
-                    # same global (replicated) array — shard_batch would
-                    # wrongly treat this sample as a process-local shard
-                    from jax.sharding import NamedSharding, PartitionSpec
-                    kw["out_shardings"] = NamedSharding(mesh, PartitionSpec())
-                eval_batch = jax.jit(
-                    lambda a, k: smp.sample(a, k, n_eval), **kw)(
-                        src_args, smp.step_key(step))
+                eval_batch = sample_replicated(smp.step_key(step),
+                                               min(8, t.batch_size))
             imgs = eval_batch if not isinstance(eval_batch, tuple) \
                 else eval_batch[1]
             imgs = imgs[:8]
@@ -545,25 +589,26 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
                                  to_hwc(np.asarray(recon)))))
             if best is not None:
                 if eval_pair is None:
-                    # a FIXED held-out pair scored with the training
-                    # objective: temporal batches as-is; warp-mode frames
-                    # through the training warp once (fixed key), so the
-                    # metric matches what the step optimizes
-                    if isinstance(eval_batch, tuple):
-                        eval_pair = (eval_batch[0][:8], eval_batch[1][:8])
+                    # a FIXED pair scored with the training objective.
+                    # Fused sources: drawn once with an INDEPENDENT base key
+                    # (not the step-key sequence the loop trains on). Stream
+                    # sources: the pinned first batch is the nearest
+                    # available fixed draw; warp mode still applies an
+                    # independent warp, so the exact scored pair is unseen.
+                    held = (sample_replicated(
+                                jax.random.PRNGKey(t.seed + 101),
+                                min(8, t.batch_size))
+                            if fused_src else eval_batch)
+                    if isinstance(held, tuple):
+                        eval_pair = (held[0][:8], held[1][:8])
                     elif cfg.data.pair_mode == "warp":
                         from keypoints_tpu.data.augment import make_pair
                         from keypoints_tpu.training import warp_config
                         eval_pair = jax.jit(
                             lambda k, f: make_pair(k, f, warp_config(cfg)))(
-                            jax.random.PRNGKey(t.seed + 9), eval_batch[:8])
+                            jax.random.PRNGKey(t.seed + 9), held[:8])
                     else:
-                        eval_pair = (imgs, imgs)
-                    from keypoints_tpu.losses import l2_loss
-                    lf = loss or l2_loss
-                    eval_loss_fn = jax.jit(
-                        lambda p, s, t_: lf(
-                            model.apply({"params": p}, s, t_)[0], t_))
+                        eval_pair = (held[:8], held[:8])
                 el = float(np.asarray(
                     eval_loss_fn(state.params, *eval_pair)))
                 log.scalars(step, eval_loss=el)
@@ -576,6 +621,8 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
             last_saved = step
 
     mgr.wait_until_finished()
+    if best is not None:
+        best.finish()
     log.close()
     return state
 

@@ -101,9 +101,13 @@ class Logger:
                 self._writer.add_scalar(k, float(v), step)
         if self._jsonl:
             import json
-            self._jsonl.write(json.dumps(
-                {"step": int(step), **{k: float(v) for k, v in kv.items()}})
-                + "\n")
+            import math
+            # non-finite floats would serialize as bare NaN/Infinity tokens,
+            # which are not valid JSON — map them to null so one divergent
+            # value can't break strict line parsers (jq, pandas, JSON.parse)
+            row = {k: (float(v) if math.isfinite(float(v)) else None)
+                   for k, v in kv.items()}
+            self._jsonl.write(json.dumps({"step": int(step), **row}) + "\n")
 
     def images(self, step: int, tag: str, grid_hwc: np.ndarray) -> None:
         if self._writer:

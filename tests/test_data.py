@@ -497,3 +497,22 @@ def test_video_to_store_grayscale_and_cli(tmp_path, capsys):
     assert store.frames.shape == (3, 1, 16, 16)
     assert [tuple(p) for p in store.pairs] == [(0, 2)]
     assert "wrote" in capsys.readouterr().out
+
+
+def test_video_to_store_edge_cases(tmp_path):
+    """stride must be >= 1; clips shorter than delta yield a frames-only
+    store (no malformed zero-row pair index) that pair_stream rejects with
+    its explicit message."""
+    from keypoints_tpu.data.records import load_video, video_to_store
+    clip = tmp_path / "c.avi"
+    _write_test_video(clip, 3)
+    with pytest.raises(ValueError, match="stride"):
+        load_video(str(clip), size=16, stride=0)
+    path = video_to_store(str(clip), str(tmp_path / "v.npy"), size=16,
+                          delta=5)
+    store = FrameStore(path)
+    assert store.pairs is None and store.frames.shape[0] == 3
+    with pytest.raises(AssertionError, match="temporal-pair"):
+        next(pair_stream(store, 2))
+    # episode_pairs keeps its (N, 2) contract even when empty
+    assert episode_pairs([3, 2], delta=5).shape == (0, 2)

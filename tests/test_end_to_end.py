@@ -424,9 +424,31 @@ def test_best_tracker_logic(tmp_path):
     assert not bt.update(2, 0.6, s)          # worse: no save
     assert not bt.update(3, float("nan"), s)  # NaN: never best
     assert bt.update(4, 0.4, s)
+    bt.finish()
     bt2 = BestTracker(str(tmp_path / "b"))   # fresh process / resume
     assert bt2.best == 0.4 and bt2.step == 4
     assert not bt2.update(5, 0.45, s)        # resumed best still wins
+
+
+def test_best_tracker_crash_reconciliation(tmp_path):
+    """A crash between the best.json replace and the checkpoint finalize
+    must fall back to the PREVIOUS entry (the one the manager retained) —
+    a later, worse value may then never evict the retained checkpoint."""
+    import json
+    from collections import namedtuple
+    from keypoints_tpu.train import BestTracker
+    S = namedtuple("S", "params step")
+    s = S(params=np.zeros(3, np.float32), step=np.int32(0))
+    bt = BestTracker(str(tmp_path / "b"))
+    assert bt.update(4, 0.5, s)
+    bt.finish()                              # manager retains step 4
+    # simulate: json replaced for a step-10 improvement, save never landed
+    with open(tmp_path / "b" / "best.json", "w") as f:
+        json.dump({"step": 10, "eval_loss": 0.3,
+                   "previous": {"step": 4, "eval_loss": 0.5}}, f)
+    bt2 = BestTracker(str(tmp_path / "b"))
+    assert bt2.best == 0.5 and bt2.step == 4   # reconciled to the retained
+    assert not bt2.update(11, 0.55, s)         # worse than retained: kept
 
 
 def test_train_keeps_best_checkpoint(tmp_path, monkeypatch):

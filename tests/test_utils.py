@@ -152,6 +152,12 @@ def test_logger_writes_tensorboard_events(tmp_path):
     lines = [json.loads(l) for l in
              (tmp_path / "tb" / "metrics.jsonl").read_text().splitlines()]
     assert lines == [{"step": 1, "loss": 0.5, "fps": 100.0}]
+    # non-finite values serialize as null, keeping every line valid JSON
+    log2 = Logger(str(tmp_path / "tb2"))
+    log2.scalars(2, loss=float("nan"), ok=1.0)
+    log2.close()
+    row = json.loads((tmp_path / "tb2" / "metrics.jsonl").read_text())
+    assert row == {"step": 2, "loss": None, "ok": 1.0}
     # no-op logger never writes
     Logger(None).scalars(1, loss=1.0)
 
@@ -197,6 +203,12 @@ def test_bench_backend_probe():
         "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
-    assert bench._probe_backend(timeout_s=30) is not None      # live (CPU)
+    probed = bench._probe_backend(timeout_s=30)                 # live (CPU)
+    assert probed is not None and not isinstance(probed, Exception)
     assert bench._probe_backend(timeout_s=0.2,
                                 devices_fn=lambda: time.sleep(30)) is None
+    # a PROMPT failure is distinguished from a hang (different outage mode)
+    def boom():
+        raise RuntimeError("pjrt init failed")
+    got = bench._probe_backend(timeout_s=5, devices_fn=boom)
+    assert isinstance(got, Exception) and "pjrt" in str(got)
