@@ -175,6 +175,26 @@ for i in range(2):
 ck3 = float(sum(np.abs(np.asarray(jax.device_get(l))).sum()
                 for l in jax.tree_util.tree_leaves(state3.params)))
 print(f"STREAM_OK loss={l3:.9f} ck={ck3:.6f}", flush=True)
+
+# FULL train() end-to-end across processes — the production entry point:
+# fused chunked DP loop, eval/viz on mesh-replicated samples, and BOTH
+# Orbax managers (latest + best-by-eval-loss) saving cross-process into a
+# SHARED directory (the real multihost layout; Orbax coordinates writes)
+shared = sys.argv[3]
+from keypoints_tpu.train import train as run_train
+cfg4 = cfg.override(**{
+    "data.dataset": "synthetic_dots", "data.pair_mode": "warp",
+    "train.steps": 4, "train.log_every": 2, "train.eval_every": 2,
+    "train.checkpoint_every": 4,
+    "train.checkpoint_dir": f"{shared}/ck"})
+st4 = run_train(cfg4)
+ck4 = float(sum(np.abs(np.asarray(jax.device_get(l))).sum()
+                for l in jax.tree_util.tree_leaves(st4.params)))
+import json as _json
+with open(f"{shared}/ck/{cfg4.name}_best/best.json") as _f:
+    _bm = _json.load(_f)
+print(f"TRAINFULL_OK ck={ck4:.6f} best={_bm['eval_loss']:.9f} "
+      f"bstep={_bm['step']}", flush=True)
 print(f"WORKER_OK {pid}", flush=True)
 """
 
@@ -187,7 +207,7 @@ def test_two_process_psum(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
     procs = [subprocess.Popen(
-        [sys.executable, str(script), str(i), addr],
+        [sys.executable, str(script), str(i), addr, str(tmp_path)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for i in range(2)]
     outs = []
@@ -215,6 +235,10 @@ def test_two_process_psum(tmp_path):
     stream = [next(ln for ln in o.splitlines() if ln.startswith("STREAM_OK"))
               for o in outs]
     assert stream[0] == stream[1], stream
+    # full train(): lockstep params AND an agreed best.json across processes
+    full = [next(ln for ln in o.splitlines()
+                 if ln.startswith("TRAINFULL_OK")) for o in outs]
+    assert full[0] == full[1], full
 
 
 def _free_port() -> int:
