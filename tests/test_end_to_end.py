@@ -473,3 +473,24 @@ def test_train_keeps_best_checkpoint(tmp_path, monkeypatch):
     assert step == meta["step"]
     assert any(np.asarray(l).size
                for l in jax.tree_util.tree_leaves(restored["params"]))
+
+
+def test_train_perceptual_with_best(tmp_path, monkeypatch):
+    """pose-style perceptual config (shrunk) through train(): the VGG loss
+    feeds both the train step and the best-checkpoint scoring forward."""
+    from keypoints_tpu.train import train
+    monkeypatch.chdir(tmp_path)
+    cfg = _small(get_config("pose256"), **{
+        "data.dataset": "synthetic_dots",
+        "data.image_size": 16,
+        "train.batch_size": 2,
+        "train.steps": 2, "train.log_every": 2, "train.eval_every": 2,
+        "train.checkpoint_every": 2,
+        "train.perceptual_layers": ("relu1_2",),
+        "train.checkpoint_dir": "ck"})
+    assert cfg.train.loss == "perceptual"
+    train(cfg)
+    import json
+    with open(tmp_path / "ck" / f"{cfg.name}_best" / "best.json") as f:
+        meta = json.load(f)
+    assert np.isfinite(meta["eval_loss"])
