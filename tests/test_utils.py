@@ -212,3 +212,32 @@ def test_bench_backend_probe():
         raise RuntimeError("pjrt init failed")
     got = bench._probe_backend(timeout_s=5, devices_fn=boom)
     assert isinstance(got, Exception) and "pjrt" in str(got)
+
+
+def test_checkify_step_catches_nonfinite():
+    """debug.checkify_step compiles NaN/OOB checks into the REAL train step
+    (SURVEY §5 sanitizers): clean batch passes, poisoned batch throws."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.training import build_model, init_state, make_train_step
+    from keypoints_tpu.utils.debug import checkify_step
+
+    cfg = get_config("pong64").override(**{
+        "model.encoder_filters": (4, 8), "model.encoder_strides": (2, 2),
+        "model.decoder_filters": (8, 4), "model.decoder_upsample": (True, True),
+        "model.groups": 2, "model.num_keypoints": 2,
+        "data.image_size": 16, "train.batch_size": 2,
+        "train.compute_dtype": "float32"})
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    run, consume = checkify_step(make_train_step(cfg, build_model(cfg)))
+    run = jax.jit(run)
+    img = jnp.ones((2, 1, 16, 16), jnp.float32) * 0.5
+    err, (state2, m) = run(state, (img, img), jax.random.PRNGKey(1))
+    consume(err)                                   # clean: must not raise
+    assert np.isfinite(float(np.asarray(m["loss"])))
+    bad = img.at[0, 0, 0, 0].set(jnp.nan)
+    err, _ = run(state, (bad, img), jax.random.PRNGKey(1))
+    with pytest.raises(Exception):                 # checkify JaxRuntimeError
+        consume(err)
