@@ -646,6 +646,15 @@ def main(argv=None):
         cfg = cfg.override(**{"train.steps": args.steps})
     if args.profile:
         from keypoints_tpu.utils.profiling import trace
+        if (cfg.data.image_size >= 256 or
+                cfg.train.batch_size * cfg.data.image_size ** 2 >= 128 * 128 ** 2):
+            # the profiler's trace buffers add device-memory overhead on top
+            # of the program's peak; tracing a near-HBM-limit program has
+            # crashed a remote TPU worker outright (2026-08-18 incident).
+            # Profile a smaller batch and scale the op table instead.
+            print("warning: profiling a large program adds device-memory "
+                  "overhead and can destabilize the worker — prefer a "
+                  "smaller train.batch_size for the trace", flush=True)
         with trace(args.profile):
             train(cfg.override(**{"train.steps": min(cfg.train.steps, 20)}),
                   args.logdir)
