@@ -251,10 +251,34 @@ def video_to_store(source: str, out_path: str, size: int, channels: int = 3,
             raise FileNotFoundError(f"no video files in {source}")
     else:
         paths = [source]
-    clips = [load_video(p, size, channels, stride, max_frames_per_video)
-             for p in paths]
-    frames = np.concatenate(clips)
-    pairs = episode_pairs([len(c) for c in clips], delta)
+    # Host RAM stays bounded to ONE decoded clip: each clip spills to a
+    # temporary .npy, then the clips stream into the final store memmap.
+    # A realistic pose corpus (dozens of minutes-long 256² clips) is tens
+    # of GB decoded — concatenating in RAM would OOM the host.
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    tmp_paths, lengths = [], []
+    try:
+        for i, p in enumerate(paths):
+            arr = load_video(p, size, channels, stride, max_frames_per_video)
+            tmp = f"{out_path}.clip{i}.tmp.npy"
+            np.save(tmp, arr)
+            tmp_paths.append(tmp)
+            lengths.append(len(arr))
+            del arr
+        out = np.lib.format.open_memmap(
+            out_path, mode="w+", dtype=np.uint8,
+            shape=(sum(lengths), channels, size, size))
+        at = 0
+        for tmp, n in zip(tmp_paths, lengths):
+            out[at:at + n] = np.load(tmp, mmap_mode="r")
+            at += n
+        out.flush()
+        del out
+    finally:
+        for tmp in tmp_paths:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+    pairs = episode_pairs(lengths, delta)
     if len(pairs) == 0:
         # every clip shorter than delta+1 stored frames: a zero-row index
         # would only surface as an opaque device error later — omit it so
@@ -262,6 +286,10 @@ def video_to_store(source: str, out_path: str, size: int, channels: int = 3,
         # say so now (warp-mode training doesn't need pairs at all)
         print(f"note: no temporal pairs (every clip < {delta + 1} stored "
               f"frames); writing a frames-only store", flush=True)
-        pairs = None
-    FrameStore.write(out_path, frames, pairs)
+        stale = out_path.replace(".npy", "_pairs.npy")
+        if os.path.exists(stale):          # don't let an old index linger
+            os.remove(stale)
+    else:
+        np.save(out_path.replace(".npy", "_pairs.npy"),
+                pairs.astype(np.int32))
     return out_path
