@@ -182,9 +182,35 @@ def load_image_folder(folder: str, size: int, channels: int = 3,
 def image_folder_to_store(folder: str, out_path: str, size: int,
                           channels: int = 3, limit: Optional[int] = None
                           ) -> str:
-    """Decode an image folder to a packed store — offline, one-time."""
-    FrameStore.write(out_path, load_image_folder(folder, size, channels,
-                                                 limit))
+    """Decode an image folder to a packed store — offline, one-time.
+
+    Decodes straight into the store memmap, so host RAM stays ~one image
+    regardless of folder size (a 256² CelebA-scale folder is tens of GB
+    decoded).
+    """
+    import cv2
+    names = sorted(f for f in os.listdir(folder)
+                   if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    if limit:
+        names = names[:limit]
+    if not names:
+        raise FileNotFoundError(f"no images in {folder}")
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    out = np.lib.format.open_memmap(
+        out_path, mode="w+", dtype=np.uint8,
+        shape=(len(names), channels, size, size))
+    for i, name in enumerate(names):
+        img = cv2.imread(os.path.join(folder, name),
+                         cv2.IMREAD_COLOR if channels == 3
+                         else cv2.IMREAD_GRAYSCALE)
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
+        if channels == 3:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).transpose(2, 0, 1)
+        else:
+            img = img[None]
+        out[i] = img
+    out.flush()
+    del out
     return out_path
 
 
