@@ -32,9 +32,17 @@ def evaluate(cfg: Config, params, src, tgt,
             return recon_loss(recon, tgt), kp
 
     value, kp = forward(params, src, tgt)
-    kp = np.asarray(kp)
+    out = {"eval_loss": float(np.asarray(value)),
+           **keypoint_metrics(np.asarray(kp), true_positions)}
+    return out
+
+
+def keypoint_metrics(kp: np.ndarray,
+                     true_positions: Optional[np.ndarray] = None
+                     ) -> dict[str, float]:
+    """Geometry-only metrics on extracted keypoints ``(B, K, 2)`` — shared
+    by checkpoint eval and exported-artifact eval (no params needed)."""
     out = {
-        "eval_loss": float(np.asarray(value)),
         # spread: mean pairwise keypoint distance — collapse indicator
         "keypoint_spread": float(np.mean(np.linalg.norm(
             kp[:, :, None] - kp[:, None], axis=-1))),
@@ -137,34 +145,47 @@ def _cli(argv=None):
 
     enable_compile_cache()
 
-    p = argparse.ArgumentParser(description="evaluate a trained checkpoint")
+    p = argparse.ArgumentParser(
+        description="evaluate a trained checkpoint or an exported artifact")
     p.add_argument("--preset", required=True)
-    p.add_argument("--checkpoint", required=True,
+    p.add_argument("--checkpoint", default=None,
                    help="Orbax checkpoint directory (trainer layout)")
+    p.add_argument("--artifact", default=None,
+                   help="exported StableHLO extractor (keypoints-export): "
+                        "scores the keypoint metrics without a checkpoint "
+                        "(no eval_loss — the artifact has no decoder)")
     p.add_argument("--override", nargs="*", default=[])
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--overlay", default=None,
                    help="write a keypoint-overlay PNG here")
     args = p.parse_args(argv)
+    if (args.checkpoint is None) == (args.artifact is None):
+        raise SystemExit("pass exactly one of --checkpoint / --artifact")
 
     from keypoints_tpu.configs import apply_overrides
     cfg = apply_overrides(get_config(args.preset), args.override)
 
-    state = init_state(cfg, jax.random.PRNGKey(0))
-    mgr = ckpt.make_manager(args.checkpoint)
-    step, restored = ckpt.restore_latest(mgr, state._asdict())
-    if step is None:
-        raise SystemExit(f"no checkpoint found in {args.checkpoint}")
-    state = TrainState(**restored)
-    print(f"restored step {step}")
-
-    # evaluate on the preset's synthetic stand-in (ground truth available),
-    # scoring with the TRAINING objective (perceptual presets: VGG loss)
-    from keypoints_tpu.train import make_loss
     src, tgt, pos = synthetic_eval_batch(cfg, args.batch,
                                          jax.random.PRNGKey(7))
-    metrics = evaluate(cfg, state.params, src, tgt, true_positions=pos,
-                       loss=make_loss(cfg))
+    if args.artifact:
+        from keypoints_tpu.export import load_extract
+        fn = load_extract(args.artifact)
+        kp_fn = lambda imgs: fn(np.asarray(imgs, np.float32))  # noqa: E731
+        metrics = keypoint_metrics(np.asarray(kp_fn(tgt)), pos)
+    else:
+        state = init_state(cfg, jax.random.PRNGKey(0))
+        mgr = ckpt.make_manager(args.checkpoint)
+        step, restored = ckpt.restore_latest(mgr, state._asdict())
+        if step is None:
+            raise SystemExit(f"no checkpoint found in {args.checkpoint}")
+        state = TrainState(**restored)
+        print(f"restored step {step}")
+        # score with the TRAINING objective (perceptual presets: VGG loss)
+        from keypoints_tpu.train import make_loss
+        metrics = evaluate(cfg, state.params, src, tgt, true_positions=pos,
+                           loss=make_loss(cfg))
+        extract = jax.jit(make_extract_fn(cfg, build_model(cfg)))
+        kp_fn = lambda imgs: extract(state.params, imgs)  # noqa: E731
     for k, v in metrics.items():
         print(f"{k}: {v:.5f}")
 
@@ -172,8 +193,7 @@ def _cli(argv=None):
         import cv2
 
         from keypoints_tpu.viz import image_grid, overlay_keypoints
-        extract = jax.jit(make_extract_fn(cfg, build_model(cfg)))
-        kp = np.asarray(extract(state.params, tgt[:8]))
+        kp = np.asarray(kp_fn(tgt[:8]))
         grid = image_grid(overlay_keypoints(np.asarray(tgt[:8]), kp), cols=4)
         cv2.imwrite(args.overlay, (grid[..., ::-1] * 255).astype(np.uint8))
         print(f"overlay written to {args.overlay}")

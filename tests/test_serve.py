@@ -331,3 +331,31 @@ def test_export_cli_smoke(tmp_path, capsys):
           "train.compute_dtype=float32"])
     printed = capsys.readouterr().out
     assert "wrote" in printed and "reload OK" in printed
+
+
+def test_eval_cli_on_artifact(tmp_path, capsys):
+    """keypoints-eval --artifact: locking/PCK metrics straight off an
+    exported extractor (no checkpoint), overlay written."""
+    from keypoints_tpu.eval import _cli as eval_cli
+    from keypoints_tpu.export import _cli as export_cli
+
+    shrink = ["model.encoder_filters=(4,8)", "model.encoder_strides=(2,2)",
+              "model.decoder_filters=(8,4)", "model.decoder_upsample=(True,True)",
+              "model.groups=2", "model.num_keypoints=3", "data.image_size=16",
+              "train.compute_dtype=float32"]
+    art = str(tmp_path / "e.shlo")
+    export_cli(["--preset", "pong64", "--batch", "4", "--out", art,
+                "--override", *shrink])
+    capsys.readouterr()
+    overlay = str(tmp_path / "o.png")
+    eval_cli(["--preset", "pong64", "--artifact", art, "--batch", "6",
+              "--overlay", overlay, "--override", *shrink])
+    printed = capsys.readouterr().out
+    assert "locking_median" in printed and "pck@0.1" in printed
+    assert "eval_loss" not in printed          # artifact has no decoder
+    import os
+    assert os.path.getsize(overlay) > 0
+    # exactly one of --checkpoint / --artifact
+    import pytest
+    with pytest.raises(SystemExit, match="exactly one"):
+        eval_cli(["--preset", "pong64"])
