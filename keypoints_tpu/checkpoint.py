@@ -98,6 +98,61 @@ def load_torch_checkpoint(path: str,
     return convert_torch_state_dict(obj, rename)
 
 
+# --- flax → torch conversion (the reverse direction) -------------------------
+
+def _invert_leaf(leaf: str, value: np.ndarray) -> tuple[str, np.ndarray]:
+    """Exact inverse of :func:`_convert_leaf` on one flax leaf."""
+    if leaf == "kernel":
+        if value.ndim == 4:                      # HWIO → OIHW
+            return "weight", np.transpose(value, (3, 2, 0, 1))
+        if value.ndim == 2:                      # IO → OI
+            return "weight", np.transpose(value, (1, 0))
+        return "weight", value
+    if leaf == "scale":                          # norm gain
+        return "weight", value
+    return leaf, value
+
+
+def export_torch_state_dict(params: dict,
+                            rename: Optional[dict[str, str]] = None) -> dict:
+    """Nested flax params → flat torch-layout state dict (name → ndarray).
+
+    The exact inverse of :func:`convert_torch_state_dict`: transposes conv
+    kernels HWIO→OIHW and linear kernels IO→OI, renames ``kernel``/``scale``
+    back to ``weight``. ``rename`` maps FLAX module-path prefixes to torch
+    ones — i.e. the inversion (``{v: k for k, v in ...}``) of the map you
+    would hand the forward converter. Lets a TPU-trained model round-trip
+    into the reference's ``torch.save`` world (SURVEY.md §5 checkpoint/resume
+    names torch state dicts as the reference format; [B:5] "same
+    checkpoint-loadable weights" — this direction makes the loadability
+    mutual). bf16 leaves are exported as float32.
+    """
+    rename = dict(sorted((rename or {}).items(), key=lambda kv: -len(kv[0])))
+    out: dict = {}
+    for path, value in jax.tree_util.tree_flatten_with_path(params)[0]:
+        parts = [str(k.key) for k in path]
+        arr = np.asarray(value)
+        if arr.dtype.name == "bfloat16":         # no torch/numpy bridge
+            arr = arr.astype(np.float32)
+        leaf, arr = _invert_leaf(parts[-1], arr)
+        name = ".".join(parts[:-1] + [leaf])
+        for src, dst in rename.items():
+            if name == src or name.startswith(src + "."):
+                name = dst + name[len(src):]
+                break
+        out[name] = arr
+    return out
+
+
+def save_torch_checkpoint(path: str, params: dict,
+                          rename: Optional[dict[str, str]] = None) -> None:
+    """``torch.save`` the flax params as a torch-format state dict."""
+    import torch
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
+          for k, v in export_torch_state_dict(params, rename).items()}
+    torch.save(sd, path)
+
+
 def assert_tree_shapes_match(converted: dict, reference: dict) -> None:
     """Raise with a readable diff if converted params don't line up."""
     def flat(tree):
@@ -125,7 +180,7 @@ def _cli(argv=None):
     import json
 
     p = argparse.ArgumentParser(
-        description="convert a torch checkpoint to an Orbax params checkpoint")
+        description="convert checkpoints between torch and Orbax formats")
     sub = p.add_subparsers(dest="cmd", required=True)
     c = sub.add_parser("convert", help="torch state dict -> Orbax params")
     c.add_argument("torch_path")
@@ -134,25 +189,49 @@ def _cli(argv=None):
                    help="JSON file mapping torch module prefixes to flax paths")
     c.add_argument("--preset", default=None,
                    help="validate converted shapes against this config preset")
+    e = sub.add_parser("export-torch",
+                       help="Orbax training checkpoint -> torch state dict")
+    e.add_argument("checkpoint_dir", help="Orbax checkpoint dir (train CLI layout)")
+    e.add_argument("out_path", help="output .pt file")
+    e.add_argument("--preset", required=True,
+                   help="config preset the checkpoint was trained with")
+    e.add_argument("--rename", default=None,
+                   help="JSON file mapping FLAX module prefixes to torch paths"
+                        " (the inversion of a convert-direction map)")
     args = p.parse_args(argv)
 
     rename = None
     if args.rename:
         with open(args.rename) as f:
             rename = json.load(f)
-    params = load_torch_checkpoint(args.torch_path, rename)
-    if args.preset:
-        import jax
-        from keypoints_tpu.configs import get_config
-        from keypoints_tpu.training import init_state
-        ref = init_state(get_config(args.preset),
-                         jax.random.PRNGKey(0)).params
-        assert_tree_shapes_match(params, ref)
-        print(f"shapes validated against preset {args.preset!r}")
-    mgr = make_manager(args.out_dir, max_to_keep=1)
-    save(mgr, 0, {"params": params})
-    mgr.wait_until_finished()
-    print(f"wrote Orbax checkpoint to {args.out_dir} (step 0)")
+
+    if args.cmd == "convert":
+        params = load_torch_checkpoint(args.torch_path, rename)
+        if args.preset:
+            import jax
+            from keypoints_tpu.configs import get_config
+            from keypoints_tpu.training import init_state
+            ref = init_state(get_config(args.preset),
+                             jax.random.PRNGKey(0)).params
+            assert_tree_shapes_match(params, ref)
+            print(f"shapes validated against preset {args.preset!r}")
+        mgr = make_manager(args.out_dir, max_to_keep=1)
+        save(mgr, 0, {"params": params})
+        mgr.wait_until_finished()
+        print(f"wrote Orbax checkpoint to {args.out_dir} (step 0)")
+        return
+
+    # export-torch: restore the latest step, write params as a state dict
+    import jax
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.training import init_state
+    state = init_state(get_config(args.preset), jax.random.PRNGKey(0))
+    mgr = make_manager(args.checkpoint_dir)
+    step, restored = restore_latest(mgr, state._asdict())
+    if step is None:
+        raise SystemExit(f"no checkpoint found in {args.checkpoint_dir!r}")
+    save_torch_checkpoint(args.out_path, restored["params"], rename)
+    print(f"wrote torch state dict (step {step}) to {args.out_path}")
 
 
 if __name__ == "__main__":

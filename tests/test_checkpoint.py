@@ -120,6 +120,96 @@ def test_convert_cli(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_export_torch_exact_roundtrip():
+    """torch → flax → torch is the identity on names AND values."""
+    tnet = _TorchConvNet()
+    rename = {"conv0": "Conv_0", "gn0": "GroupNorm_0",
+              "conv1": "Conv_1", "gn1": "GroupNorm_1"}
+    params = ckpt.convert_torch_state_dict(tnet.state_dict(), rename)
+    back = ckpt.export_torch_state_dict(
+        params, rename={v: k for k, v in rename.items()})
+    want = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    assert set(back) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(back[k], want[k])
+
+
+def test_export_torch_forward_agreement(tmp_path):
+    """Flax-trained weights load into the golden torch model (strict) and
+    reproduce the flax forward — TPU-trained checkpoints are usable from the
+    reference's torch world (the reverse of [B:5] loadability)."""
+    from keypoints_tpu.training import build_model
+    from tests.golden.torch_model import (TorchKeypointAutoencoder,
+                                          rename_map_for_flax)
+
+    cfg = _small_cfg()
+    state = init_state(cfg, jax.random.PRNGKey(42))
+    pt = tmp_path / "exported.pt"
+    ckpt.save_torch_checkpoint(
+        str(pt), state.params,
+        rename={v: k for k, v in rename_map_for_flax().items()})
+
+    m = cfg.model
+    tnet = TorchKeypointAutoencoder(
+        num_keypoints=m.num_keypoints, in_channels=1, out_channels=1,
+        sigma=m.sigma, temperature=m.temperature, variant=m.softmax_variant,
+        encoder_filters=m.encoder_filters, encoder_strides=m.encoder_strides,
+        decoder_filters=m.decoder_filters, decoder_upsample=m.decoder_upsample,
+        groups=m.groups).eval()
+    sd = torch.load(str(pt), map_location="cpu", weights_only=True)
+    tnet.load_state_dict(sd, strict=True)
+
+    rs = np.random.RandomState(5)
+    src = rs.rand(2, 1, 32, 32).astype(np.float32)
+    tgt = rs.rand(2, 1, 32, 32).astype(np.float32)
+    model = build_model(cfg)
+    got_recon, got_kp = model.apply({"params": state.params},
+                                    jnp.asarray(src), jnp.asarray(tgt))
+    with torch.no_grad():
+        want_recon, want_kp = tnet(torch.tensor(src), torch.tensor(tgt))
+    l2 = np.linalg.norm(np.asarray(got_kp) - want_kp.numpy(), axis=-1)
+    assert l2.max() < 1e-3, l2.max()
+    np.testing.assert_allclose(np.asarray(got_recon), want_recon.numpy(),
+                               atol=5e-5)
+
+
+def test_export_torch_cli(tmp_path):
+    """Orbax training checkpoint → .pt via the CLI; values match params."""
+    cfg = _small_cfg()
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    ckdir = tmp_path / "ck"
+    mgr = ckpt.make_manager(str(ckdir))
+    ckpt.save(mgr, 7, state._asdict())
+    mgr.wait_until_finished()
+
+    out = tmp_path / "export.pt"
+    # pong64's preset template differs in shape from _small_cfg's overrides,
+    # so restore against the right template by patching get_config is NOT
+    # needed — export-torch only requires a same-shaped template; use the
+    # direct API for the overridden config and the CLI for the preset-true
+    # case below.
+    ckpt.save_torch_checkpoint(str(out), state.params)
+    sd = torch.load(str(out), map_location="cpu", weights_only=True)
+    flat = {".".join(str(k.key) for k in path): v for path, v in
+            jax.tree_util.tree_flatten_with_path(state.params)[0]}
+    assert len(sd) == len(flat)
+
+    # preset-true CLI path
+    cfg2 = get_config("pong64")
+    state2 = init_state(cfg2, jax.random.PRNGKey(1))
+    ckdir2 = tmp_path / "ck2"
+    mgr2 = ckpt.make_manager(str(ckdir2))
+    ckpt.save(mgr2, 3, state2._asdict())
+    mgr2.wait_until_finished()
+    out2 = tmp_path / "export2.pt"
+    ckpt._cli(["export-torch", str(ckdir2), str(out2), "--preset", "pong64"])
+    sd2 = torch.load(str(out2), map_location="cpu", weights_only=True)
+    kp_kernel = np.asarray(state2.params["keynet"]["head"]["kernel"])
+    np.testing.assert_allclose(sd2["keynet.head.weight"].numpy(),
+                               np.transpose(kp_kernel, (3, 2, 0, 1)),
+                               atol=0)
+
+
 def test_export_extract_roundtrip(tmp_path):
     """AOT serving artifact: export the extractor with params baked in,
     reload from bytes on disk, and match the live model's keypoints."""
