@@ -195,6 +195,9 @@ def _cli(argv=None):
     e.add_argument("out_path", help="output .pt file")
     e.add_argument("--preset", required=True,
                    help="config preset the checkpoint was trained with")
+    e.add_argument("--override", nargs="*", default=[],
+                   help="config overrides the checkpoint was trained with"
+                        " (the restore template must match its shapes)")
     e.add_argument("--rename", default=None,
                    help="JSON file mapping FLAX module prefixes to torch paths"
                         " (the inversion of a convert-direction map)")
@@ -223,9 +226,10 @@ def _cli(argv=None):
 
     # export-torch: restore the latest step, write params as a state dict
     import jax
-    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.configs import apply_overrides, get_config
     from keypoints_tpu.training import init_state
-    state = init_state(get_config(args.preset), jax.random.PRNGKey(0))
+    cfg = apply_overrides(get_config(args.preset), args.override)
+    state = init_state(cfg, jax.random.PRNGKey(0))
     mgr = make_manager(args.checkpoint_dir)
     step, restored = restore_latest(mgr, state._asdict())
     if step is None:

@@ -22,15 +22,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def store_path(path: str) -> str:
+    """Normalize a store path to its on-disk ``.npy`` form.
+
+    ``np.save`` appends ``.npy`` but ``open_memmap``/``np.load`` do not, so a
+    suffix-less CLI argument (``--out store``) would otherwise scatter the
+    frames and the pairs index across inconsistent filenames — and FrameStore
+    could then mmap the FRAMES array as the pairs index.
+    """
+    return path if path.endswith(".npy") else path + ".npy"
+
+
+def pairs_path(path: str) -> str:
+    """The temporal-pair index filename that belongs to a frame store."""
+    return store_path(path)[:-len(".npy")] + "_pairs.npy"
+
+
 class FrameStore:
     """A packed uint8 frame array on disk, with optional temporal-pair index."""
 
     def __init__(self, path: str):
-        self.path = path
-        self.frames = np.load(path, mmap_mode="r")          # (N, C, H, W) u8
-        pairs_path = path.replace(".npy", "_pairs.npy")
-        self.pairs = (np.load(pairs_path, mmap_mode="r")
-                      if os.path.exists(pairs_path) else None)
+        self.path = store_path(path)
+        self.frames = np.load(self.path, mmap_mode="r")     # (N, C, H, W) u8
+        ppath = pairs_path(self.path)
+        self.pairs = (np.load(ppath, mmap_mode="r")
+                      if os.path.exists(ppath) else None)
 
     def __len__(self) -> int:
         return len(self.pairs) if self.pairs is not None else len(self.frames)
@@ -39,11 +55,13 @@ class FrameStore:
     def write(path: str, frames: np.ndarray,
               pairs: Optional[np.ndarray] = None) -> None:
         assert frames.dtype == np.uint8 and frames.ndim == 4
+        path = store_path(path)
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         np.save(path, frames)
         if pairs is not None:
-            np.save(path.replace(".npy", "_pairs.npy"),
-                    pairs.astype(np.int32))
+            np.save(pairs_path(path), pairs.astype(np.int32))
+        elif os.path.exists(pairs_path(path)):
+            os.remove(pairs_path(path))    # don't let an old index linger
 
 
 def episode_pairs(episode_lengths: list[int], delta: int = 1) -> np.ndarray:
@@ -153,6 +171,25 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
         yield buf.popleft()
 
 
+def _list_images(folder: str, limit: Optional[int]) -> list[str]:
+    names = sorted(f for f in os.listdir(folder)
+                   if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    return names[:limit] if limit else names
+
+
+def _decode_image(path: str, size: int, channels: int) -> np.ndarray:
+    """cv2 decode + resize one image → (C, size, size) uint8."""
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_COLOR if channels == 3
+                     else cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise ValueError(f"cv2 cannot decode image: {path}")
+    img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
+    if channels == 3:
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).transpose(2, 0, 1)
+    return img[None]
+
+
 def load_image_folder(folder: str, size: int, channels: int = 3,
                       limit: Optional[int] = None) -> np.ndarray:
     """Decode an image folder (png/jpg) → (N, C, size, size) uint8 frames.
@@ -160,22 +197,10 @@ def load_image_folder(folder: str, size: int, channels: int = 3,
     Uses cv2 for decode+resize (host, ahead of training — decode is NOT in the
     training loop; [B:5] keeps only augmentation on device).
     """
-    import cv2
-    names = sorted(f for f in os.listdir(folder)
-                   if f.lower().endswith((".png", ".jpg", ".jpeg")))
-    if limit:
-        names = names[:limit]
+    names = _list_images(folder, limit)
     frames = np.empty((len(names), channels, size, size), np.uint8)
     for i, name in enumerate(names):
-        img = cv2.imread(os.path.join(folder, name),
-                         cv2.IMREAD_COLOR if channels == 3
-                         else cv2.IMREAD_GRAYSCALE)
-        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
-        if channels == 3:
-            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).transpose(2, 0, 1)
-        else:
-            img = img[None]
-        frames[i] = img
+        frames[i] = _decode_image(os.path.join(folder, name), size, channels)
     return frames
 
 
@@ -186,31 +211,30 @@ def image_folder_to_store(folder: str, out_path: str, size: int,
 
     Decodes straight into the store memmap, so host RAM stays ~one image
     regardless of folder size (a 256² CelebA-scale folder is tens of GB
-    decoded).
+    decoded). The memmap is built at a temp path and moved into place only
+    on success: a corrupt image or an interrupt must not leave a partial
+    zero-filled store that a later run silently trains on.
     """
-    import cv2
-    names = sorted(f for f in os.listdir(folder)
-                   if f.lower().endswith((".png", ".jpg", ".jpeg")))
-    if limit:
-        names = names[:limit]
+    names = _list_images(folder, limit)
     if not names:
         raise FileNotFoundError(f"no images in {folder}")
+    out_path = store_path(out_path)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    out = np.lib.format.open_memmap(
-        out_path, mode="w+", dtype=np.uint8,
-        shape=(len(names), channels, size, size))
-    for i, name in enumerate(names):
-        img = cv2.imread(os.path.join(folder, name),
-                         cv2.IMREAD_COLOR if channels == 3
-                         else cv2.IMREAD_GRAYSCALE)
-        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
-        if channels == 3:
-            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).transpose(2, 0, 1)
-        else:
-            img = img[None]
-        out[i] = img
-    out.flush()
-    del out
+    tmp_path = out_path + ".tmp"
+    try:
+        out = np.lib.format.open_memmap(
+            tmp_path, mode="w+", dtype=np.uint8,
+            shape=(len(names), channels, size, size))
+        for i, name in enumerate(names):
+            out[i] = _decode_image(os.path.join(folder, name), size, channels)
+        out.flush()
+        del out
+        os.replace(tmp_path, out_path)
+    finally:
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
+    if os.path.exists(pairs_path(out_path)):   # frames-only writer: a stale
+        os.remove(pairs_path(out_path))        # index must not apply here
     return out_path
 
 
@@ -280,8 +304,12 @@ def video_to_store(source: str, out_path: str, size: int, channels: int = 3,
     # Host RAM stays bounded to ONE decoded clip: each clip spills to a
     # temporary .npy, then the clips stream into the final store memmap.
     # A realistic pose corpus (dozens of minutes-long 256² clips) is tens
-    # of GB decoded — concatenating in RAM would OOM the host.
+    # of GB decoded — concatenating in RAM would OOM the host. The final
+    # memmap is also built at a temp path and moved into place on success,
+    # so an interrupt can't leave a partial store behind.
+    out_path = store_path(out_path)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    store_tmp = out_path + ".tmp"
     tmp_paths, lengths = [], []
     try:
         for i, p in enumerate(paths):
@@ -292,7 +320,7 @@ def video_to_store(source: str, out_path: str, size: int, channels: int = 3,
             lengths.append(len(arr))
             del arr
         out = np.lib.format.open_memmap(
-            out_path, mode="w+", dtype=np.uint8,
+            store_tmp, mode="w+", dtype=np.uint8,
             shape=(sum(lengths), channels, size, size))
         at = 0
         for tmp, n in zip(tmp_paths, lengths):
@@ -300,8 +328,9 @@ def video_to_store(source: str, out_path: str, size: int, channels: int = 3,
             at += n
         out.flush()
         del out
+        os.replace(store_tmp, out_path)
     finally:
-        for tmp in tmp_paths:
+        for tmp in tmp_paths + [store_tmp]:
             if os.path.exists(tmp):
                 os.remove(tmp)
     pairs = episode_pairs(lengths, delta)
@@ -312,10 +341,8 @@ def video_to_store(source: str, out_path: str, size: int, channels: int = 3,
         # say so now (warp-mode training doesn't need pairs at all)
         print(f"note: no temporal pairs (every clip < {delta + 1} stored "
               f"frames); writing a frames-only store", flush=True)
-        stale = out_path.replace(".npy", "_pairs.npy")
-        if os.path.exists(stale):          # don't let an old index linger
-            os.remove(stale)
+        if os.path.exists(pairs_path(out_path)):   # don't let an old
+            os.remove(pairs_path(out_path))        # index linger
     else:
-        np.save(out_path.replace(".npy", "_pairs.npy"),
-                pairs.astype(np.int32))
+        np.save(pairs_path(out_path), pairs.astype(np.int32))
     return out_path

@@ -153,7 +153,11 @@ def _cli(argv=None):
     p.add_argument("--artifact", default=None,
                    help="exported StableHLO extractor (keypoints-export): "
                         "scores the keypoint metrics without a checkpoint "
-                        "(no eval_loss — the artifact has no decoder)")
+                        "(no eval_loss — the artifact has no decoder). The "
+                        "artifact runs at its exported matmul precision, so "
+                        "on TPU the numbers may differ in the last digits "
+                        "from --checkpoint's fp32-forced forward — this "
+                        "scores the thing you actually deploy")
     p.add_argument("--override", nargs="*", default=[])
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--overlay", default=None,
@@ -170,6 +174,20 @@ def _cli(argv=None):
     if args.artifact:
         from keypoints_tpu.export import load_extract
         fn = load_extract(args.artifact)
+        # fail with a readable message, not a deep jax.export shape error,
+        # when the artifact was exported under a different preset/override
+        want = {"image_size": cfg.data.image_size,
+                "channels": cfg.data.channels,
+                "num_keypoints": cfg.model.num_keypoints}
+        bad = {k: (fn.meta[k], v) for k, v in want.items()
+               if fn.meta.get(k) != v}
+        if bad:
+            raise SystemExit(
+                "artifact/config mismatch: " + ", ".join(
+                    f"{k}: artifact={a} config={c}"
+                    for k, (a, c) in bad.items())
+                + " — pass the preset/--override the artifact was exported "
+                  "with")
         kp_fn = lambda imgs: fn(np.asarray(imgs, np.float32))  # noqa: E731
         metrics = keypoint_metrics(np.asarray(kp_fn(tgt)), pos)
     else:

@@ -183,12 +183,14 @@ def test_export_torch_cli(tmp_path):
     mgr.wait_until_finished()
 
     out = tmp_path / "export.pt"
-    # pong64's preset template differs in shape from _small_cfg's overrides,
-    # so restore against the right template by patching get_config is NOT
-    # needed — export-torch only requires a same-shaped template; use the
-    # direct API for the overridden config and the CLI for the preset-true
-    # case below.
-    ckpt.save_torch_checkpoint(str(out), state.params)
+    # an overridden config exports through the CLI with --override (the
+    # restore template must match the trained shapes)
+    ckpt._cli(["export-torch", str(ckdir), str(out), "--preset", "pong64",
+               "--override",
+               "model.encoder_filters=(8,16)", "model.encoder_strides=(2,2)",
+               "model.decoder_filters=(16,8)",
+               "model.decoder_upsample=(True,True)", "model.groups=4",
+               "data.image_size=32", "train.compute_dtype=float32"])
     sd = torch.load(str(out), map_location="cpu", weights_only=True)
     flat = {".".join(str(k.key) for k in path): v for path, v in
             jax.tree_util.tree_flatten_with_path(state.params)[0]}

@@ -1,5 +1,7 @@
 """Data pipeline tests: synthetic generators, FrameStore, streams, collector."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -516,3 +518,42 @@ def test_video_to_store_edge_cases(tmp_path):
         next(pair_stream(store, 2))
     # episode_pairs keeps its (N, 2) contract even when empty
     assert episode_pairs([3, 2], delta=5).shape == (0, 2)
+
+
+def test_store_writer_hygiene(tmp_path):
+    """Store writers are atomic, normalize suffix-less paths, and never let
+    a stale pairs index apply to freshly written frames."""
+    import cv2
+    from keypoints_tpu.data.records import image_folder_to_store
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    for i in range(3):
+        cv2.imwrite(str(folder / f"{i}.png"),
+                    np.full((8, 8, 3), 40 * i, np.uint8))
+
+    # suffix-less out path: frames and pairs land on the .npy convention
+    # (previously open_memmap wrote frames at 'store' while FrameStore
+    # read pairs from 'store' too — the frames array AS the index)
+    out = image_folder_to_store(str(folder), str(tmp_path / "store"), size=8)
+    assert out.endswith("store.npy") and os.path.exists(out)
+    assert FrameStore(str(tmp_path / "store")).frames.shape == (3, 3, 8, 8)
+
+    # stale pairs index from a previous temporal store must not survive a
+    # frames-only rewrite (it would index past the new frame count)
+    np.save(str(tmp_path / "store_pairs.npy"),
+            np.array([[0, 7]], np.int32))
+    image_folder_to_store(str(folder), out, size=8)
+    assert FrameStore(out).pairs is None
+    FrameStore.write(out, np.zeros((2, 1, 4, 4), np.uint8),
+                     pairs=np.array([[0, 1]], np.int32))
+    assert FrameStore(out).pairs is not None
+    FrameStore.write(out, np.zeros((2, 1, 4, 4), np.uint8))
+    assert FrameStore(out).pairs is None
+
+    # a corrupt image fails loudly AND leaves no partial store behind
+    (folder / "zz_bad.jpg").write_bytes(b"not an image")
+    dest = tmp_path / "bad.npy"
+    with pytest.raises(ValueError, match="zz_bad.jpg"):
+        image_folder_to_store(str(folder), str(dest), size=8)
+    assert not dest.exists() and not (tmp_path / "bad.npy.tmp").exists()

@@ -359,3 +359,7 @@ def test_eval_cli_on_artifact(tmp_path, capsys):
     import pytest
     with pytest.raises(SystemExit, match="exactly one"):
         eval_cli(["--preset", "pong64"])
+    # preset/override mismatch against the artifact's meta fails with a
+    # readable message, not a deep jax.export shape error
+    with pytest.raises(SystemExit, match="artifact/config mismatch"):
+        eval_cli(["--preset", "pong64", "--artifact", art, "--batch", "4"])
