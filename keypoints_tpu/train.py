@@ -398,7 +398,17 @@ def make_loss(cfg: Config):
     return None  # default L2
 
 
-def train(cfg: Config, logdir: str | None = None) -> TrainState:
+def train(cfg: Config, logdir: str | None = None,
+          dry_run: bool = False) -> TrainState:
+    """Run the training loop; returns the final TrainState.
+
+    ``dry_run`` stops after setup: config resolved, data source built, and
+    (on TPU, fused sources) the HBM preflight printed — a cheap "will this
+    run fit and what will it do" check before committing device hours.
+    Ctrl-C saves a checkpoint at the interrupted step before re-raising, so
+    relaunching the same command resumes the exact trajectory (resume is a
+    pure function of (seed, step) — nothing is lost but the partial chunk).
+    """
     t = cfg.train
     model = build_model(cfg)
     loss = make_loss(cfg)
@@ -422,19 +432,24 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
     # SURVEY §2.1); 8-row program, compiled only if a logdir is active
     forward = jax.jit(lambda p, s, tgt: model.apply({"params": p}, s, tgt))
     # best-checkpoint scoring: full forward + the training objective on a
-    # fixed 8-row pair; built here so preflight_hbm can account for it
+    # fixed 8-row pair; built here so preflight_hbm can account for it.
+    # A dry run must not touch disk: no tracker/manager dirs are created
+    # (eval_loss_fn is still built so the preflight stays representative).
     best = (BestTracker(f"{t.checkpoint_dir}/{cfg.name}_best")
-            if t.save_best else None)
+            if t.save_best and not dry_run else None)
     eval_pair = None
-    if best is not None:
+    if t.save_best:
         from keypoints_tpu.losses import l2_loss
         _lf = loss or l2_loss
         eval_loss_fn = jax.jit(
             lambda p, s, t_: _lf(model.apply({"params": p}, s, t_)[0], t_))
     else:
         eval_loss_fn = None
-    mgr = ckpt.make_manager(f"{t.checkpoint_dir}/{cfg.name}", t.max_to_keep)
-    start, restored = ckpt.restore_latest(mgr, state._asdict())
+    start = None
+    if not dry_run:
+        mgr = ckpt.make_manager(f"{t.checkpoint_dir}/{cfg.name}",
+                                t.max_to_keep)
+        start, restored = ckpt.restore_latest(mgr, state._asdict())
     if start is not None:
         state = TrainState(**restored)
         print(f"resumed from step {start}", flush=True)
@@ -519,6 +534,20 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
                    else jax.jit(make_train_step(cfg, model, loss=loss),
                                 donate_argnums=(0,)))
 
+    if dry_run:
+        import dataclasses
+        import json as _json
+        src_kind = type(batches).__name__
+        print(f"dry run: preset {cfg.name!r}, {t.steps} steps of batch "
+              f"{t.batch_size}, source {src_kind}"
+              f"{' (fused in-step sampling)' if fused_src else ''}, "
+              f"chunk {chunk} step(s)/dispatch, dp={dp} "
+              f"({n_dev} device(s))", flush=True)
+        print(_json.dumps(dataclasses.asdict(cfg), default=str, indent=2),
+              flush=True)
+        log.close()
+        return state
+
     eval_batch = None
     # the step counter is tracked on the HOST: fetching state.step every
     # iteration is a ~28 ms D2H round-trip through this tunnel AND a
@@ -540,85 +569,107 @@ def train(cfg: Config, logdir: str | None = None) -> TrainState:
         state, metrics = step_fn(state, batch, rng)
         return state, metrics, step + 1
 
-    while step < t.steps:
-        try:
-            state, metrics, step = advance(state, step)
-        except jax.errors.JaxRuntimeError as e:
-            # the device runtime died mid-run (worker crash/restart —
-            # SURVEY §5 failure detection): point at the recovery path
-            # instead of a bare backend traceback.
-            if "UNAVAILABLE" in str(e) or "crashed" in str(e):
-                raise RuntimeError(_crash_hint(step, last_saved, cfg)) from e
-            raise
+    def _train_loop():
+        nonlocal state, step, last_t, last_step, last_saved
+        nonlocal eval_batch, eval_pair
+        while step < t.steps:
+            try:
+                state, metrics, step = advance(state, step)
+            except jax.errors.JaxRuntimeError as e:
+                # the device runtime died mid-run (worker crash/restart —
+                # SURVEY §5 failure detection): point at the recovery path
+                # instead of a bare backend traceback.
+                if "UNAVAILABLE" in str(e) or "crashed" in str(e):
+                    raise RuntimeError(_crash_hint(step, last_saved, cfg)) from e
+                raise
 
-        if step % t.log_every == 0:
-            now = time.time()
-            fps = (step - last_step) * t.batch_size / max(now - last_t, 1e-9)
-            last_t, last_step = now, step
-            lv = float(np.asarray(metrics["loss"]))
-            gn = float(np.asarray(metrics["grad_norm"]))
-            if not (np.isfinite(lv) and np.isfinite(gn)):
-                raise FloatingPointError(
-                    f"training diverged at step {step}: loss={lv} grad={gn}; "
-                    f"restart from the last checkpoint with a lower lr")
-            print(f"step {step:6d} loss {lv:.5f} grad {gn:.3f} "
-                  f"frames/s {fps:.0f}", flush=True)
-            log.scalars(step, loss=lv, grad_norm=gn, frames_per_sec=fps)
+            if step % t.log_every == 0:
+                now = time.time()
+                fps = (step - last_step) * t.batch_size / max(now - last_t, 1e-9)
+                last_t, last_step = now, step
+                lv = float(np.asarray(metrics["loss"]))
+                gn = float(np.asarray(metrics["grad_norm"]))
+                if not (np.isfinite(lv) and np.isfinite(gn)):
+                    raise FloatingPointError(
+                        f"training diverged at step {step}: loss={lv} grad={gn}; "
+                        f"restart from the last checkpoint with a lower lr")
+                print(f"step {step:6d} loss {lv:.5f} grad {gn:.3f} "
+                      f"frames/s {fps:.0f}", flush=True)
+                log.scalars(step, loss=lv, grad_norm=gn, frames_per_sec=fps)
 
-        if step % t.eval_every == 0:
-            if fused_src and eval_batch is None:
-                # fused path: sample ONLY the viz rows, once. A full train
-                # batch here would pin e.g. 100 MB (pose256 b128) of HBM for
-                # the whole run that the preflight sized at 8 rows.
-                eval_batch = sample_replicated(smp.step_key(step),
-                                               min(8, t.batch_size))
-            imgs = eval_batch if not isinstance(eval_batch, tuple) \
-                else eval_batch[1]
-            imgs = imgs[:8]
-            kp = extract(state.params, imgs)
-            over = overlay_keypoints(np.asarray(imgs), np.asarray(kp))
-            log.images(step, "keypoints", image_grid(over))
-            if log.active:
-                # recon side-by-side (target | reconstruction), the
-                # reference's second training-viz artifact
-                src = eval_batch[0][:8] if isinstance(eval_batch, tuple) \
-                    else imgs
-                recon, _ = forward(state.params, src, imgs)
-                log.images(step, "recon", image_grid(
-                    side_by_side(to_hwc(np.asarray(imgs)),
-                                 to_hwc(np.asarray(recon)))))
-            if best is not None:
-                if eval_pair is None:
-                    # a FIXED pair scored with the training objective.
-                    # Fused sources: drawn once with an INDEPENDENT base key
-                    # (not the step-key sequence the loop trains on). Stream
-                    # sources: the pinned first batch is the nearest
-                    # available fixed draw; warp mode still applies an
-                    # independent warp, so the exact scored pair is unseen.
-                    held = (sample_replicated(
-                                jax.random.PRNGKey(t.seed + 101),
-                                min(8, t.batch_size))
-                            if fused_src else eval_batch)
-                    if isinstance(held, tuple):
-                        eval_pair = (held[0][:8], held[1][:8])
-                    elif cfg.data.pair_mode == "warp":
-                        from keypoints_tpu.data.augment import make_pair
-                        from keypoints_tpu.training import warp_config
-                        eval_pair = jax.jit(
-                            lambda k, f: make_pair(k, f, warp_config(cfg)))(
-                            jax.random.PRNGKey(t.seed + 9), held[:8])
-                    else:
-                        eval_pair = (held[:8], held[:8])
-                el = float(np.asarray(
-                    eval_loss_fn(state.params, *eval_pair)))
-                log.scalars(step, eval_loss=el)
-                if best.update(step, el, state):
-                    print(f"step {step:6d} new best eval_loss {el:.5f} "
-                          f"-> {best.dir}", flush=True)
+            if step % t.eval_every == 0:
+                if fused_src and eval_batch is None:
+                    # fused path: sample ONLY the viz rows, once. A full train
+                    # batch here would pin e.g. 100 MB (pose256 b128) of HBM for
+                    # the whole run that the preflight sized at 8 rows.
+                    eval_batch = sample_replicated(smp.step_key(step),
+                                                   min(8, t.batch_size))
+                imgs = eval_batch if not isinstance(eval_batch, tuple) \
+                    else eval_batch[1]
+                imgs = imgs[:8]
+                kp = extract(state.params, imgs)
+                over = overlay_keypoints(np.asarray(imgs), np.asarray(kp))
+                log.images(step, "keypoints", image_grid(over))
+                if log.active:
+                    # recon side-by-side (target | reconstruction), the
+                    # reference's second training-viz artifact
+                    src = eval_batch[0][:8] if isinstance(eval_batch, tuple) \
+                        else imgs
+                    recon, _ = forward(state.params, src, imgs)
+                    log.images(step, "recon", image_grid(
+                        side_by_side(to_hwc(np.asarray(imgs)),
+                                     to_hwc(np.asarray(recon)))))
+                if best is not None:
+                    if eval_pair is None:
+                        # a FIXED pair scored with the training objective.
+                        # Fused sources: drawn once with an INDEPENDENT base key
+                        # (not the step-key sequence the loop trains on). Stream
+                        # sources: the pinned first batch is the nearest
+                        # available fixed draw; warp mode still applies an
+                        # independent warp, so the exact scored pair is unseen.
+                        held = (sample_replicated(
+                                    jax.random.PRNGKey(t.seed + 101),
+                                    min(8, t.batch_size))
+                                if fused_src else eval_batch)
+                        if isinstance(held, tuple):
+                            eval_pair = (held[0][:8], held[1][:8])
+                        elif cfg.data.pair_mode == "warp":
+                            from keypoints_tpu.data.augment import make_pair
+                            from keypoints_tpu.training import warp_config
+                            eval_pair = jax.jit(
+                                lambda k, f: make_pair(k, f, warp_config(cfg)))(
+                                jax.random.PRNGKey(t.seed + 9), held[:8])
+                        else:
+                            eval_pair = (held[:8], held[:8])
+                    el = float(np.asarray(
+                        eval_loss_fn(state.params, *eval_pair)))
+                    log.scalars(step, eval_loss=el)
+                    if best.update(step, el, state):
+                        print(f"step {step:6d} new best eval_loss {el:.5f} "
+                              f"-> {best.dir}", flush=True)
 
-        if step % t.checkpoint_every == 0:
+            if step % t.checkpoint_every == 0:
+                ckpt.save(mgr, step, state._asdict())
+                last_saved = step
+
+
+    try:
+        _train_loop()
+    except KeyboardInterrupt:
+        # clean interrupt: save at the interrupted step so relaunching the
+        # same command resumes the exact trajectory (the step counter and
+        # data stream are pure functions of (seed, step)); only the chunk
+        # that was in flight is redone.
+        if step > (last_saved or 0):
             ckpt.save(mgr, step, state._asdict())
-            last_saved = step
+            mgr.wait_until_finished()
+            print(f"\ninterrupted at step {step}: checkpoint saved to "
+                  f"{t.checkpoint_dir}/{cfg.name}; rerun the same command "
+                  f"to resume", flush=True)
+        if best is not None:
+            best.finish()
+        log.close()
+        raise
 
     mgr.wait_until_finished()
     if best is not None:
@@ -638,13 +689,18 @@ def main(argv=None):
     p.add_argument("--logdir", default=None)
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace for the first 20 steps")
+    p.add_argument("--dry-run", action="store_true",
+                   help="resolve the config, build the data source, run the "
+                        "HBM preflight (TPU), print, and exit — no training")
     args = p.parse_args(argv)
 
     from keypoints_tpu.configs import apply_overrides
     cfg = apply_overrides(get_config(args.preset), args.override)
     if args.steps is not None:
         cfg = cfg.override(**{"train.steps": args.steps})
-    if args.profile:
+    if args.dry_run:
+        train(cfg, args.logdir, dry_run=True)
+    elif args.profile:
         from keypoints_tpu.utils.profiling import trace
         if (cfg.data.image_size >= 256 or
                 cfg.train.batch_size * cfg.data.image_size ** 2 >= 128 * 128 ** 2):

@@ -494,3 +494,60 @@ def test_train_perceptual_with_best(tmp_path, monkeypatch):
     with open(tmp_path / "ck" / f"{cfg.name}_best" / "best.json") as f:
         meta = json.load(f)
     assert np.isfinite(meta["eval_loss"])
+
+
+def test_interrupt_saves_checkpoint_and_resume_is_exact(tmp_path, monkeypatch):
+    """Ctrl-C mid-run saves at the interrupted step; relaunching the same
+    command continues the exact trajectory (train(8) == interrupt@4 +
+    resume(8)) — nothing is lost but the in-flight chunk."""
+    from keypoints_tpu import train as train_mod
+    monkeypatch.chdir(tmp_path)
+
+    def cfg(ckdir, steps):
+        return _small(get_config("pong64"), **{
+            "data.dataset": "synthetic_dots",
+            "train.steps": steps,
+            "train.log_every": 4,
+            "train.eval_every": 1000,
+            "train.checkpoint_every": 1000,    # interrupt save only
+            "train.checkpoint_dir": ckdir})
+
+    s_full = train_mod.train(cfg("int_full", 8))
+
+    calls = {"n": 0}
+    orig = train_mod.Logger.scalars
+
+    def interrupting_scalars(self, step, **kw):
+        orig(self, step, **kw)
+        calls["n"] += 1
+        if calls["n"] == 1:                    # first log tick = step 4
+            raise KeyboardInterrupt
+    monkeypatch.setattr(train_mod.Logger, "scalars", interrupting_scalars)
+    with pytest.raises(KeyboardInterrupt):
+        train_mod.train(cfg("int_split", 8))
+    monkeypatch.setattr(train_mod.Logger, "scalars", orig)
+
+    s_resumed = train_mod.train(cfg("int_split", 8))   # resumes from 4
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                    jax.tree_util.tree_leaves(s_resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_cli_dry_run(tmp_path, monkeypatch, capsys):
+    """--dry-run resolves config + data source and exits without training."""
+    from keypoints_tpu import train as train_mod
+    monkeypatch.chdir(tmp_path)
+    train_mod.main(["--preset", "pong64", "--steps", "4", "--dry-run",
+                    "--override",
+                    "model.encoder_filters=(8,16)",
+                    "model.encoder_strides=(2,2)",
+                    "model.decoder_filters=(16,8)",
+                    "model.decoder_upsample=(True,True)", "model.groups=4",
+                    "data.image_size=32", "train.batch_size=4",
+                    "train.compute_dtype=float32",
+                    "data.dataset=synthetic_dots"])
+    out = capsys.readouterr().out
+    assert "dry run:" in out and '"batch_size": 4' in out
+    assert "frames/s" not in out                  # no training happened
+    import os
+    assert not os.path.exists("checkpoints")
