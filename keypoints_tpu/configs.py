@@ -54,6 +54,11 @@ class TrainConfig:
     # fixed random init (offline-runnable). See models/vgg.py.
     vgg_ckpt: str = ""
     batch_size: int = 32
+    # split each step's batch into this many sequential micro-batches and
+    # average their gradients (exact for mean losses): trains an
+    # HBM-limited config at a large effective batch for ~1/grad_accum the
+    # activation memory. 1 = off.
+    grad_accum: int = 1
     steps: int = 10_000
     lr: float = 1e-3
     warmup_steps: int = 100

@@ -109,6 +109,13 @@ def make_train_step(cfg: Config, model: nn.Module, tx=None,
     wcfg = warp_config(cfg)
 
     bf16_aug = cfg.train.compute_dtype == "bfloat16"
+    accum = cfg.train.grad_accum
+    if accum < 1:
+        raise ValueError(f"train.grad_accum must be >= 1, got {accum}")
+    if accum > 1 and cfg.train.batch_size % accum != 0:
+        raise ValueError(
+            f"train.batch_size {cfg.train.batch_size} is not divisible by "
+            f"train.grad_accum {accum}")
 
     def step(state: TrainState, batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -121,8 +128,35 @@ def make_train_step(cfg: Config, model: nn.Module, tx=None,
             src, tgt = make_pair(rng, batch, wcfg)
         else:
             src, tgt = batch
-        (value, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, src, tgt)
+        if accum > 1:
+            # sequential micro-batches inside the step (lax.scan keeps
+            # activation memory at one micro-batch): averaged micro-grads
+            # equal the full-batch gradient exactly for mean losses, so
+            # this is a pure memory/batch-size trade, not a different
+            # optimization. Augmentation above still runs once on the full
+            # batch — identical pairs to grad_accum=1.
+            if src.shape[0] % accum != 0:   # per-shard batch under DP
+                raise ValueError(
+                    f"per-step batch {src.shape[0]} is not divisible by "
+                    f"train.grad_accum {accum}")
+            m = src.shape[0] // accum
+            split = lambda x: x.reshape(accum, m, *x.shape[1:])  # noqa: E731
+
+            def micro(carry, st):
+                (v, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, *st)
+                cv, cg = carry
+                return (cv + v, jax.tree_util.tree_map(jnp.add, cg, g)), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (value, grads), _ = jax.lax.scan(
+                micro, (jnp.zeros((), jnp.float32), zeros),
+                (split(src), split(tgt)))
+            value = value / accum
+            grads = jax.tree_util.tree_map(lambda x: x / accum, grads)
+        else:
+            (value, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, src, tgt)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             value = jax.lax.pmean(value, axis_name)

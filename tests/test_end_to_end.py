@@ -551,3 +551,19 @@ def test_train_cli_dry_run(tmp_path, monkeypatch, capsys):
     assert "frames/s" not in out                  # no training happened
     import os
     assert not os.path.exists("checkpoints")
+
+
+def test_train_loop_with_grad_accum(tmp_path, monkeypatch):
+    """grad_accum runs through the full fused-chunk train loop."""
+    from keypoints_tpu.train import train
+    monkeypatch.chdir(tmp_path)
+    cfg = _small(get_config("pong64"), **{
+        "data.dataset": "synthetic_dots",
+        "train.steps": 4,
+        "train.grad_accum": 2,
+        "train.log_every": 4,
+        "train.eval_every": 4,
+        "train.checkpoint_every": 4,
+        "train.checkpoint_dir": "ga_ck"})
+    state = train(cfg)
+    assert int(np.asarray(state.step)) == 4

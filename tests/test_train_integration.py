@@ -94,3 +94,38 @@ def test_training_is_deterministic():
         return losses
 
     assert run() == run()
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=4 produces the same step as one full-batch step (mean loss
+    ⇒ averaged micro-grads ARE the full gradient), in both temporal and
+    warp pair modes — a pure activation-memory/batch-size trade."""
+    import pytest
+
+    for over in ({}, {"data.pair_mode": "warp"}):
+        cfg = _cfg().override(**over)
+        model = build_model(cfg)
+        state0 = init_state(cfg, jax.random.PRNGKey(0))
+        src, tgt, _ = _one_dot(jax.random.PRNGKey(7))
+        batch = src if cfg.data.pair_mode == "warp" else (src, tgt)
+
+        step_full = jax.jit(make_train_step(cfg, model))
+        step_acc = jax.jit(make_train_step(
+            cfg.override(**{"train.grad_accum": 4}), model))
+        rng = jax.random.PRNGKey(3)
+        sf, mf = step_full(state0, batch, rng)
+        sa, ma = step_acc(state0, batch, rng)
+        np.testing.assert_allclose(float(mf["loss"]), float(ma["loss"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(sf.params),
+                        jax.tree_util.tree_leaves(sa.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+    # config validation: non-divisible and nonsense values fail loudly
+    with pytest.raises(ValueError, match="not divisible"):
+        make_train_step(_cfg().override(**{"train.grad_accum": 5}),
+                        build_model(_cfg()))
+    with pytest.raises(ValueError, match=">= 1"):
+        make_train_step(_cfg().override(**{"train.grad_accum": 0}),
+                        build_model(_cfg()))
