@@ -150,6 +150,49 @@ class BatchingExtractor:
             row += n
 
 
+def http_meta(url: str, timeout: float = 10.0) -> dict:
+    """GET a ``keypoints-serve`` endpoint's metadata (buckets, shapes, K)."""
+    import json
+    import urllib.request
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def http_extract(url: str, images: np.ndarray,
+                 timeout: float = 60.0) -> np.ndarray:
+    """Client for ``keypoints-serve``: images ``(n, C, H, W)`` → ``(n, K, 2)``.
+
+    The stdlib-only counterpart of the curl example above. Requests larger
+    than the server's biggest bucket are split client-side (the server's
+    batcher rejects oversized requests by design — rows are independent, so
+    chunking is exact). HTTP 400 raises ``ValueError`` with the server's
+    message (malformed request); other statuses raise ``RuntimeError``
+    (device fault — retryable).
+    """
+    import io
+    import urllib.error
+    import urllib.request
+
+    images = np.ascontiguousarray(images, np.float32)
+    limit = int(http_meta(url, timeout=timeout)["batches"][-1])
+    if images.shape[0] > limit:
+        return np.concatenate([http_extract(url, images[i:i + limit], timeout)
+                               for i in range(0, images.shape[0], limit)])
+    buf = io.BytesIO()
+    np.save(buf, images)
+    req = urllib.request.Request(url.rstrip("/") + "/extract",
+                                 data=buf.getvalue(), method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return np.load(io.BytesIO(r.read()), allow_pickle=False)
+    except urllib.error.HTTPError as e:
+        body = e.read().decode(errors="replace")
+        if e.code == 400:
+            raise ValueError(f"server rejected request: {body}") from None
+        raise RuntimeError(f"extraction failed (HTTP {e.code}): "
+                           f"{body}") from None
+
+
 def _cli(argv=None):
     import argparse
     import io

@@ -318,6 +318,20 @@ def test_http_server_end_to_end(bundle, tmp_path):
         meta = json.loads(resp.read())
     assert meta["batches"] == [1, 4]
 
+    # the stdlib client helpers against the live server: meta, an in-bucket
+    # request, an oversized request (client-side split: 9 > max bucket 4),
+    # and a malformed one (HTTP 400 → ValueError)
+    url = f"http://localhost:{port}"
+    assert serve.http_meta(url)["batches"] == [1, 4]
+    kp2 = serve.http_extract(url, imgs)
+    np.testing.assert_allclose(kp2, kp, rtol=0, atol=0)
+    big = np.random.RandomState(4).rand(9, 1, 16, 16).astype(np.float32)
+    kp_big = serve.http_extract(url, big)
+    np.testing.assert_allclose(
+        kp_big, np.asarray(direct(jnp.asarray(big))), rtol=0, atol=1e-6)
+    with pytest.raises(ValueError, match="rejected"):
+        serve.http_extract(url, np.zeros((2, 1, 8, 8), np.float32))
+
 
 def test_export_cli_smoke(tmp_path, capsys):
     """keypoints-export end-to-end: random-init params -> artifact -> reload."""
