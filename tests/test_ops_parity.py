@@ -186,3 +186,35 @@ def test_grid_sample_nearest_vs_torch(align, padding):
                          mode="nearest", padding_mode=padding,
                          align_corners=align).numpy()
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_grid_sample_fuzz_vs_torch():
+    """Randomized sweep over shapes × modes × paddings × align: 48 draws of
+    random sizes with ~25% out-of-bounds points. The fixed-case tests pin
+    the documented semantics; this guards the corners a fixed case can't
+    enumerate (odd/even sizes, 1-pixel inputs, tall/wide grids)."""
+    import torch.nn.functional as F
+    rs = np.random.RandomState(42)
+    for trial in range(48):
+        b = rs.randint(1, 4)
+        c = rs.randint(1, 5)
+        h, w = rs.randint(1, 33), rs.randint(1, 33)
+        ho, wo = rs.randint(1, 25), rs.randint(1, 25)
+        align = bool(trial % 2)
+        padding = ("zeros", "border", "reflection")[trial % 3]
+        mode = ("bilinear", "nearest")[(trial // 2) % 2]
+        img = rs.rand(b, c, h, w).astype(np.float32)
+        grid = (rs.rand(b, ho, wo, 2) * 3 - 1.5).astype(np.float32)
+        if mode == "nearest":
+            # stay off exact rounding ties (torch nearbyint vs jnp round)
+            grid = np.round(grid * 64) / 64 + 1 / 512
+        got = np.asarray(grid_sample(jnp.array(img), jnp.array(grid),
+                                     padding_mode=padding,
+                                     align_corners=align, mode=mode))
+        want = F.grid_sample(torch.tensor(img), torch.tensor(grid),
+                             mode=mode, padding_mode=padding,
+                             align_corners=align).numpy()
+        np.testing.assert_allclose(
+            got, want, atol=1e-5,
+            err_msg=f"trial {trial}: {b}x{c}x{h}x{w} -> {ho}x{wo} "
+                    f"{mode}/{padding}/align={align}")
