@@ -218,3 +218,28 @@ def test_grid_sample_fuzz_vs_torch():
             got, want, atol=1e-5,
             err_msg=f"trial {trial}: {b}x{c}x{h}x{w} -> {ho}x{wo} "
                     f"{mode}/{padding}/align={align}")
+
+
+def test_tps_grid_fuzz_vs_golden():
+    """Randomized TPS sweep: control-grid size × output size × perturbation
+    scale × align, vs the golden torch TPS."""
+    rs = np.random.RandomState(11)
+    for trial in range(12):
+        g = (3, 4, 5)[trial % 3]                       # g×g control sites
+        h, w = rs.randint(4, 20), rs.randint(4, 20)
+        scale = (0.02, 0.08)[trial % 2]
+        align = bool((trial // 2) % 2)
+        base = np.stack(np.meshgrid(np.linspace(-1, 1, g),
+                                    np.linspace(-1, 1, g),
+                                    indexing="ij"), -1).reshape(-1, 2)
+        cp = np.broadcast_to(base, (2, g * g, 2)).astype(np.float32)
+        tgt = (cp + scale * rs.randn(2, g * g, 2)).astype(np.float32)
+        got = np.asarray(tps_grid(jnp.array(cp), jnp.array(tgt), h, w,
+                                  align_corners=align))
+        want = golden.tps_warp_grid(torch.tensor(cp.copy()),
+                                    torch.tensor(tgt.copy()), h, w,
+                                    align_corners=align).numpy()
+        np.testing.assert_allclose(
+            got, want, atol=2e-4,
+            err_msg=f"trial {trial}: g={g} {h}x{w} scale={scale} "
+                    f"align={align}")
