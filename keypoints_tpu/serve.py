@@ -174,23 +174,28 @@ def http_extract(url: str, images: np.ndarray,
     import urllib.request
 
     images = np.ascontiguousarray(images, np.float32)
+
+    def _post(chunk: np.ndarray) -> np.ndarray:
+        buf = io.BytesIO()
+        np.save(buf, chunk)
+        req = urllib.request.Request(url.rstrip("/") + "/extract",
+                                     data=buf.getvalue(), method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return np.load(io.BytesIO(r.read()), allow_pickle=False)
+        except urllib.error.HTTPError as e:
+            body = e.read().decode(errors="replace")
+            if e.code == 400:
+                raise ValueError(f"server rejected request: {body}") from None
+            raise RuntimeError(f"extraction failed (HTTP {e.code}): "
+                               f"{body}") from None
+
+    # one metadata fetch per call (not per chunk) decides the split size
     limit = int(http_meta(url, timeout=timeout)["batches"][-1])
-    if images.shape[0] > limit:
-        return np.concatenate([http_extract(url, images[i:i + limit], timeout)
-                               for i in range(0, images.shape[0], limit)])
-    buf = io.BytesIO()
-    np.save(buf, images)
-    req = urllib.request.Request(url.rstrip("/") + "/extract",
-                                 data=buf.getvalue(), method="POST")
-    try:
-        with urllib.request.urlopen(req, timeout=timeout) as r:
-            return np.load(io.BytesIO(r.read()), allow_pickle=False)
-    except urllib.error.HTTPError as e:
-        body = e.read().decode(errors="replace")
-        if e.code == 400:
-            raise ValueError(f"server rejected request: {body}") from None
-        raise RuntimeError(f"extraction failed (HTTP {e.code}): "
-                           f"{body}") from None
+    if images.shape[0] <= limit:
+        return _post(images)
+    return np.concatenate([_post(images[i:i + limit])
+                           for i in range(0, images.shape[0], limit)])
 
 
 def _cli(argv=None):

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 from typing import Iterator
 
@@ -231,6 +232,15 @@ def capped_chunk(cadence_gcd: int, cap: int = MAX_CHUNK_STEPS) -> int:
     if cadence_gcd <= cap:
         return cadence_gcd
     return max(d for d in range(1, cap + 1) if cadence_gcd % d == 0)
+
+
+def _state_saveable(state) -> bool:
+    """False when any leaf's device buffer is deleted — the case when an
+    interrupt lands inside a dispatched step and ``state`` still names the
+    DONATED input (donate_argnums marks it deleted at dispatch)."""
+    return not any(leaf.is_deleted()
+                   for leaf in jax.tree_util.tree_leaves(state)
+                   if hasattr(leaf, "is_deleted"))
 
 
 def _tree_bytes(tree) -> int:
@@ -473,6 +483,7 @@ def train(cfg: Config, logdir: str | None = None,
     fused_src = isinstance(batches, InStepBatches)
     if fused_src:
         import math
+        accum = max(1, t.grad_accum)
         smp = batches
         # Cap the steps per dispatch: a single device execution that runs
         # for minutes trips the remote worker's execution deadline and
@@ -480,9 +491,13 @@ def train(cfg: Config, logdir: str | None = None,
         # 100-step chunks = 14 s dispatches run clean for thousands of
         # steps; one 500-step chunk = ~70 s dispatch crashes the worker on
         # the first dispatch, reproducibly). 100 steps also already fully
-        # amortizes the ~tens-of-ms host round-trip.
+        # amortizes the ~tens-of-ms host round-trip. grad_accum multiplies
+        # per-step device time by ~accum (each step scans accum
+        # micro-batches), so the cap shrinks with it — the deadline is on
+        # DISPATCH length, not step count.
         chunk = capped_chunk(math.gcd(math.gcd(t.log_every, t.eval_every),
-                                      t.checkpoint_every))
+                                      t.checkpoint_every),
+                             cap=max(1, MAX_CHUNK_STEPS // accum))
         if dp:
             step_chunk = make_dp_fused_chunk(cfg, mesh, smp, loss=loss)
             src_args = replicate(mesh, smp.args())
@@ -582,6 +597,7 @@ def train(cfg: Config, logdir: str | None = None,
                 if "UNAVAILABLE" in str(e) or "crashed" in str(e):
                     raise RuntimeError(_crash_hint(step, last_saved, cfg)) from e
                 raise
+            _maybe_inject_fault(step)
 
             if step % t.log_every == 0:
                 now = time.time()
@@ -659,13 +675,22 @@ def train(cfg: Config, logdir: str | None = None,
         # clean interrupt: save at the interrupted step so relaunching the
         # same command resumes the exact trajectory (the step counter and
         # data stream are pure functions of (seed, step)); only the chunk
-        # that was in flight is redone.
-        if step > (last_saved or 0):
+        # that was in flight is redone. Two hazards guard the save:
+        # - an interrupt landing INSIDE a dispatched step leaves `state`
+        #   naming the DONATED input (buffers deleted at dispatch) — saving
+        #   it would raise and mask the interrupt, so skip (the last
+        #   checkpoint stands and `step` has not advanced past it anyway);
+        # - an interrupt between ckpt.save and the `last_saved` rebind
+        #   leaves last_saved stale — re-saving a step orbax already
+        #   registered raises StepAlreadyExists, so also check the manager.
+        saveable = _state_saveable(state)
+        newest = max(last_saved or 0, mgr.latest_step() or 0)
+        if saveable and step > newest:
             ckpt.save(mgr, step, state._asdict())
-            mgr.wait_until_finished()
             print(f"\ninterrupted at step {step}: checkpoint saved to "
                   f"{t.checkpoint_dir}/{cfg.name}; rerun the same command "
                   f"to resume", flush=True)
+        mgr.wait_until_finished()
         if best is not None:
             best.finish()
         log.close()
@@ -676,6 +701,71 @@ def train(cfg: Config, logdir: str | None = None,
         best.finish()
     log.close()
     return state
+
+
+def _supervise(child_argv: list[str], max_restarts: int) -> int:
+    """Supervised training: run the trainer in a subprocess and relaunch it
+    on a crash (non-zero exit), resuming from the latest checkpoint — the
+    automatic restart-from-checkpoint recovery model (SURVEY §5 failure
+    detection). Covers device-runtime deaths the in-process loop cannot
+    survive (a crashed/restarted remote TPU worker poisons the whole jax
+    backend in that process; only a fresh process re-tunnels cleanly).
+
+    Returns the final exit code (0 on success). A KeyboardInterrupt is
+    forwarded to the child so it writes its interrupt checkpoint, and is
+    NOT treated as a crash."""
+    import signal
+    import subprocess
+
+    cmd = [sys.executable, "-m", "keypoints_tpu.train", *child_argv]
+    restarts = 0
+    while True:
+        proc = subprocess.Popen(cmd)
+        try:
+            code = proc.wait()
+        except KeyboardInterrupt:
+            proc.send_signal(signal.SIGINT)
+            return proc.wait()
+        if code == 0:
+            return 0
+        if restarts >= max_restarts:
+            print(f"supervisor: giving up after {restarts} restart(s) "
+                  f"(exit code {code})", flush=True)
+            return code
+        restarts += 1
+        print(f"supervisor: trainer exited with code {code}; restart "
+              f"{restarts}/{max_restarts} resumes from the latest "
+              f"checkpoint", flush=True)
+
+
+def _strip_flag(argv: list[str], flag: str) -> list[str]:
+    """Remove ``flag value`` / ``flag=value`` pairs from an argv list."""
+    out, skip = [], False
+    for a in argv:
+        if skip:
+            skip = False
+        elif a == flag:
+            skip = True
+        elif not a.startswith(flag + "="):
+            out.append(a)
+    return out
+
+
+#: env hook for fault-injection tests: ``"STEP:MARKER_PATH"`` raises a
+#: synthetic RuntimeError the first time the loop passes STEP, creating
+#: MARKER_PATH so the fault fires exactly once (SURVEY §5 fault injection)
+FAULT_ENV = "KEYPOINTS_TPU_FAULT"
+
+
+def _maybe_inject_fault(step: int) -> None:
+    spec = os.environ.get(FAULT_ENV)
+    if not spec:
+        return
+    at, _, marker = spec.partition(":")
+    if marker and step >= int(at) and not os.path.exists(marker):
+        open(marker, "w").close()
+        raise RuntimeError(
+            f"injected fault at step {step} ({FAULT_ENV}={spec})")
 
 
 def main(argv=None):
@@ -692,7 +782,29 @@ def main(argv=None):
     p.add_argument("--dry-run", action="store_true",
                    help="resolve the config, build the data source, run the "
                         "HBM preflight (TPU), print, and exit — no training")
+    p.add_argument("--supervise", type=int, default=None, metavar="N",
+                   help="run the trainer in a supervised subprocess; on a "
+                        "crash, relaunch up to N times, each resuming from "
+                        "the latest checkpoint")
+    p.add_argument("--platform", default=os.environ.get(
+                        "KEYPOINTS_TPU_PLATFORM"),
+                   choices=["cpu", "tpu"],
+                   help="force the jax platform (the axon TPU plugin ignores "
+                        "JAX_PLATFORMS; this sets jax.config after import). "
+                        "Also honored from $KEYPOINTS_TPU_PLATFORM")
     args = p.parse_args(argv)
+    if args.dry_run and args.profile:
+        p.error("--dry-run and --profile are mutually exclusive "
+                "(a dry run never dispatches the steps a trace would record)")
+    if args.supervise is not None:
+        if args.dry_run or args.profile:
+            p.error("--supervise cannot be combined with "
+                    "--dry-run/--profile")
+        raw = list(argv) if argv is not None else list(sys.argv[1:])
+        raise SystemExit(_supervise(_strip_flag(raw, "--supervise"),
+                                    args.supervise))
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from keypoints_tpu.configs import apply_overrides
     cfg = apply_overrides(get_config(args.preset), args.override)

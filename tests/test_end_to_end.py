@@ -533,6 +533,113 @@ def test_interrupt_saves_checkpoint_and_resume_is_exact(tmp_path, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_interrupt_inside_save_does_not_double_save(tmp_path, monkeypatch):
+    """Ctrl-C landing INSIDE ckpt.save (after orbax registered the step but
+    before the loop rebinds last_saved) must not re-save the same step from
+    the interrupt handler — orbax would raise StepAlreadyExists and mask the
+    clean interrupt."""
+    from keypoints_tpu import train as train_mod
+    monkeypatch.chdir(tmp_path)
+    cfg = _small(get_config("pong64"), **{
+        "data.dataset": "synthetic_dots",
+        "train.steps": 8,
+        "train.log_every": 4,
+        "train.eval_every": 1000,
+        "train.checkpoint_every": 4,
+        "train.checkpoint_dir": "int_insave"})
+
+    orig_save = train_mod.ckpt.save
+    calls = {"n": 0}
+
+    def interrupting_save(mgr, step, state):
+        orig_save(mgr, step, state)         # the save itself completes
+        calls["n"] += 1
+        if calls["n"] == 1:                 # Ctrl-C before `last_saved = step`
+            raise KeyboardInterrupt
+    monkeypatch.setattr(train_mod.ckpt, "save", interrupting_save)
+    with pytest.raises(KeyboardInterrupt):   # NOT StepAlreadyExists
+        train_mod.train(cfg)
+    # the handler skipped the duplicate save: one registered step, one call
+    assert calls["n"] == 1
+    monkeypatch.undo()
+    s = train_mod.train(cfg)                 # resumes from step 4, finishes
+    assert int(np.asarray(s.step)) == 8
+
+
+def test_state_saveable_guard():
+    """_state_saveable: True for live arrays, False once a leaf's buffer is
+    deleted (the donated-input case when an interrupt lands mid-dispatch)."""
+    from keypoints_tpu.train import _state_saveable
+    x = jnp.ones((4,))
+    y = jnp.zeros((2, 2))
+    assert _state_saveable({"a": x, "b": (y, 3)})
+    y.delete()
+    assert not _state_saveable({"a": x, "b": (y, 3)})
+
+
+def test_chunk_cap_shrinks_with_grad_accum(tmp_path, monkeypatch, capsys):
+    """grad_accum multiplies per-step device time, so the scan-chunk cap
+    shrinks ~1/accum (dispatch LENGTH, not step count, trips the worker's
+    execution deadline)."""
+    from keypoints_tpu import train as train_mod
+    monkeypatch.chdir(tmp_path)
+    common = ["--preset", "pong64", "--steps", "400", "--dry-run",
+              "--override",
+              "model.encoder_filters=(8,16)", "model.encoder_strides=(2,2)",
+              "model.decoder_filters=(16,8)",
+              "model.decoder_upsample=(True,True)", "model.groups=4",
+              "data.image_size=32", "train.batch_size=8",
+              "train.compute_dtype=float32", "data.dataset=synthetic_dots",
+              "train.log_every=400", "train.eval_every=400",
+              "train.checkpoint_every=400"]
+    train_mod.main(common)
+    assert "chunk 100 step(s)/dispatch" in capsys.readouterr().out
+    train_mod.main(common + ["train.grad_accum=4", "train.batch_size=8"])
+    assert "chunk 25 step(s)/dispatch" in capsys.readouterr().out
+
+
+def test_supervised_restart_recovers_from_crash(tmp_path):
+    """--supervise N: a mid-run crash (injected via the KEYPOINTS_TPU_FAULT
+    hook) relaunches the trainer, which resumes from the latest checkpoint
+    and completes — SURVEY §5's automatic restart-from-checkpoint recovery,
+    driven through the real CLI in subprocesses."""
+    import os
+    import subprocess
+    import sys
+
+    env = {**os.environ,
+           "PYTHONPATH": os.getcwd(),
+           "KEYPOINTS_TPU_PLATFORM": "cpu",
+           "KEYPOINTS_TPU_FAULT": f"6:{tmp_path / 'fault_marker'}"}
+    cmd = [sys.executable, "-m", "keypoints_tpu.train",
+           "--preset", "pong64", "--steps", "12", "--supervise", "2",
+           "--override",
+           "model.encoder_filters=(8,16)", "model.encoder_strides=(2,2)",
+           "model.decoder_filters=(16,8)",
+           "model.decoder_upsample=(True,True)", "model.groups=4",
+           "data.image_size=32", "train.batch_size=4",
+           "train.compute_dtype=float32", "data.dataset=synthetic_dots",
+           "train.log_every=4", "train.eval_every=1000",
+           "train.checkpoint_every=4",
+           f"train.checkpoint_dir={tmp_path / 'ck'}"]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=str(tmp_path), timeout=600)
+    assert out.returncode == 0, out.stdout + "\n" + out.stderr
+    assert "restart 1/2" in out.stdout            # exactly one relaunch
+    assert "restart 2/2" not in out.stdout        # fault fired only once
+    assert (tmp_path / "fault_marker").exists()
+    assert "injected fault" in out.stderr         # the crash was the fault
+    # the relaunch resumed and completed: final step checkpointed
+    assert (tmp_path / "ck" / "pong64" / "12").is_dir()
+
+
+def test_train_cli_dry_run_profile_conflict():
+    from keypoints_tpu import train as train_mod
+    with pytest.raises(SystemExit):
+        train_mod.main(["--preset", "pong64", "--dry-run",
+                        "--profile", "/tmp/never"])
+
+
 def test_train_cli_dry_run(tmp_path, monkeypatch, capsys):
     """--dry-run resolves config + data source and exits without training."""
     from keypoints_tpu import train as train_mod

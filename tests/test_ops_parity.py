@@ -220,6 +220,39 @@ def test_grid_sample_fuzz_vs_torch():
                     f"{mode}/{padding}/align={align}")
 
 
+def test_bottleneck_ops_fuzz_vs_golden():
+    """Randomized sweep for the bottleneck pair (spatial softmax both
+    variants + Gaussian raster) vs golden torch: random shapes, K, sharp and
+    flat logits, boundary keypoints, odd/1-pixel grids."""
+    rs = np.random.RandomState(7)
+    for trial in range(32):
+        b = rs.randint(1, 4)
+        k = rs.randint(1, 9)
+        h, w = rs.randint(2, 48), rs.randint(2, 48)
+        temp = float(rs.choice([0.25, 0.5, 1.0, 4.0]))
+        align = bool(trial % 2)
+        scale = float(rs.choice([0.5, 3.0, 12.0]))   # flat → near-argmax
+        hm = (rs.randn(b, k, h, w) * scale).astype(np.float32)
+        for ours, ref in ((spatial_softmax2d, golden.spatial_softmax2d),
+                          (marginal_softmax, golden.marginal_softmax)):
+            got = np.asarray(ours(jnp.array(hm), temp, align))
+            want = ref(torch.tensor(hm), temp, align).numpy()
+            np.testing.assert_allclose(
+                got, want, atol=2e-5,
+                err_msg=f"trial {trial} {ours.__name__}: {b}x{k}x{h}x{w} "
+                        f"temp={temp} align={align} scale={scale}")
+        sigma = float(rs.choice([0.02, 0.1, 0.5]))
+        kp = (rs.rand(b, k, 2) * 2 - 1).astype(np.float32)
+        kp[:, 0] = [-1.0, 1.0]                       # exactly on the corner
+        got = np.asarray(gaussian_maps(jnp.array(kp), h, w, sigma, align))
+        want = golden.gaussian_maps(torch.tensor(kp), h, w, sigma,
+                                    align).numpy()
+        np.testing.assert_allclose(
+            got, want, atol=1e-5,
+            err_msg=f"trial {trial} gaussian: {b}x{k} {h}x{w} sigma={sigma} "
+                    f"align={align}")
+
+
 def test_tps_grid_fuzz_vs_golden():
     """Randomized TPS sweep: control-grid size × output size × perturbation
     scale × align, vs the golden torch TPS."""

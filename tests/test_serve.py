@@ -326,9 +326,21 @@ def test_http_server_end_to_end(bundle, tmp_path):
     kp2 = serve.http_extract(url, imgs)
     np.testing.assert_allclose(kp2, kp, rtol=0, atol=0)
     big = np.random.RandomState(4).rand(9, 1, 16, 16).astype(np.float32)
-    kp_big = serve.http_extract(url, big)
+    meta_calls = {"n": 0}
+    orig_meta = serve.http_meta
+
+    def counting_meta(u, timeout=10.0):
+        meta_calls["n"] += 1
+        return orig_meta(u, timeout=timeout)
+    serve.http_meta, _saved = counting_meta, serve.http_meta
+    try:
+        kp_big = serve.http_extract(url, big)
+    finally:
+        serve.http_meta = _saved
     np.testing.assert_allclose(
         kp_big, np.asarray(direct(jnp.asarray(big))), rtol=0, atol=1e-6)
+    # the split (9 rows over max bucket 4 = 3 chunks) fetches meta ONCE
+    assert meta_calls["n"] == 1
     with pytest.raises(ValueError, match="rejected"):
         serve.http_extract(url, np.zeros((2, 1, 8, 8), np.float32))
 
