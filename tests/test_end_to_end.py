@@ -539,14 +539,13 @@ def test_interrupt_inside_save_does_not_double_save(tmp_path, monkeypatch):
     the interrupt handler — orbax would raise StepAlreadyExists and mask the
     clean interrupt."""
     from keypoints_tpu import train as train_mod
-    monkeypatch.chdir(tmp_path)
     cfg = _small(get_config("pong64"), **{
         "data.dataset": "synthetic_dots",
         "train.steps": 8,
         "train.log_every": 4,
         "train.eval_every": 1000,
         "train.checkpoint_every": 4,
-        "train.checkpoint_dir": "int_insave"})
+        "train.checkpoint_dir": str(tmp_path / "int_insave")})
 
     orig_save = train_mod.ckpt.save
     calls = {"n": 0}
@@ -561,9 +560,12 @@ def test_interrupt_inside_save_does_not_double_save(tmp_path, monkeypatch):
         train_mod.train(cfg)
     # the handler skipped the duplicate save: one registered step, one call
     assert calls["n"] == 1
-    monkeypatch.undo()
+    monkeypatch.setattr(train_mod.ckpt, "save", orig_save)
     s = train_mod.train(cfg)                 # resumes from step 4, finishes
     assert int(np.asarray(s.step)) == 8
+    # it really resumed: only ONE checkpoint dir was written before the
+    # interrupt, and the resume run restored from it
+    assert (tmp_path / "int_insave" / "pong64" / "4").is_dir()
 
 
 def test_state_saveable_guard():
