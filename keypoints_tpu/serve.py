@@ -151,11 +151,25 @@ class BatchingExtractor:
 
 
 def http_meta(url: str, timeout: float = 10.0) -> dict:
-    """GET a ``keypoints-serve`` endpoint's metadata (buckets, shapes, K)."""
+    """GET a ``keypoints-serve`` endpoint's metadata (buckets, shapes, K).
+
+    Connection-level failures (refused/reset/DNS/socket timeout) raise
+    ``RuntimeError`` — retryable, same contract as :func:`http_extract`.
+    """
     import json
+    import urllib.error
     import urllib.request
-    with urllib.request.urlopen(url, timeout=timeout) as r:
-        return json.loads(r.read())
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r:
+            return json.loads(r.read())
+    except (urllib.error.URLError, TimeoutError) as e:
+        raise RuntimeError(f"metadata fetch failed: {e}") from None
+
+
+#: per-URL /meta cache: bundle metadata is immutable for a server's
+#: lifetime, so one fetch per endpoint suffices (invalidated when a size
+#: rejection suggests the server was relaunched with different buckets)
+_META_CACHE: dict = {}
 
 
 def http_extract(url: str, images: np.ndarray,
@@ -166,8 +180,8 @@ def http_extract(url: str, images: np.ndarray,
     than the server's biggest bucket are split client-side (the server's
     batcher rejects oversized requests by design — rows are independent, so
     chunking is exact). HTTP 400 raises ``ValueError`` with the server's
-    message (malformed request); other statuses raise ``RuntimeError``
-    (device fault — retryable).
+    message (malformed request); other statuses AND connection-level
+    failures (refused/reset/timeout) raise ``RuntimeError`` (retryable).
     """
     import io
     import urllib.error
@@ -189,13 +203,31 @@ def http_extract(url: str, images: np.ndarray,
                 raise ValueError(f"server rejected request: {body}") from None
             raise RuntimeError(f"extraction failed (HTTP {e.code}): "
                                f"{body}") from None
+        except (urllib.error.URLError, TimeoutError) as e:
+            raise RuntimeError(f"extraction failed: {e}") from None
 
-    # one metadata fetch per call (not per chunk) decides the split size
-    limit = int(http_meta(url, timeout=timeout)["batches"][-1])
-    if images.shape[0] <= limit:
+    # a single row fits every bucket (buckets are >= 1) — skip /meta entirely
+    if images.shape[0] <= 1:
         return _post(images)
-    return np.concatenate([_post(images[i:i + limit])
-                           for i in range(0, images.shape[0], limit)])
+    # metadata is cached per endpoint: one GET on first use, not per call
+    if url not in _META_CACHE:
+        _META_CACHE[url] = http_meta(url, timeout=timeout)
+    limit = int(_META_CACHE[url]["batches"][-1])
+    try:
+        if images.shape[0] <= limit:
+            return _post(images)
+        return np.concatenate([_post(images[i:i + limit])
+                               for i in range(0, images.shape[0], limit)])
+    except ValueError:
+        # size rejection with a cached limit → the server may have been
+        # relaunched with smaller buckets; refresh and retry once
+        fresh = http_meta(url, timeout=timeout)
+        if int(fresh["batches"][-1]) == limit:
+            raise                        # not a stale-bucket problem
+        _META_CACHE[url] = fresh
+        limit = int(fresh["batches"][-1])
+        return np.concatenate([_post(images[i:i + limit])
+                               for i in range(0, images.shape[0], limit)])
 
 
 def _cli(argv=None):

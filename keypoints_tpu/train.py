@@ -464,7 +464,9 @@ def train(cfg: Config, logdir: str | None = None,
         state = TrainState(**restored)
         print(f"resumed from step {start}", flush=True)
 
-    log = Logger(logdir)
+    # a dry run must not touch disk: Logger(logdir) would create the event
+    # dir + metrics.jsonl, so only a real run gets a writing logger
+    log = Logger(logdir if not dry_run else None)
     # the step rng is fold_in(rng, state.step) inside the step and the data
     # stream is indexed by step, so a resumed run is bit-identical to the
     # uninterrupted one (tested in test_train_integration.py).
@@ -690,16 +692,14 @@ def train(cfg: Config, logdir: str | None = None,
             print(f"\ninterrupted at step {step}: checkpoint saved to "
                   f"{t.checkpoint_dir}/{cfg.name}; rerun the same command "
                   f"to resume", flush=True)
+        raise
+    finally:
+        # one shutdown path for normal exit, Ctrl-C, and crashes: flush
+        # pending orbax saves, settle the best-checkpoint dir, close logs
         mgr.wait_until_finished()
         if best is not None:
             best.finish()
         log.close()
-        raise
-
-    mgr.wait_until_finished()
-    if best is not None:
-        best.finish()
-    log.close()
     return state
 
 
@@ -720,7 +720,11 @@ def _supervise(child_argv: list[str], max_restarts: int) -> int:
     cmd = [sys.executable, "-m", "keypoints_tpu.train", *child_argv]
     restarts = 0
     while True:
-        proc = subprocess.Popen(cmd)
+        # new session: a terminal Ctrl-C hits ONLY the supervisor (a child
+        # in the same process group would get the TTY's SIGINT too, and the
+        # forwarded signal below would then land as a SECOND interrupt
+        # inside its handler, aborting the interrupt-checkpoint save)
+        proc = subprocess.Popen(cmd, start_new_session=True)
         try:
             code = proc.wait()
         except KeyboardInterrupt:
@@ -771,7 +775,11 @@ def _maybe_inject_fault(step: int) -> None:
 def main(argv=None):
     from keypoints_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()   # relaunch/resume skips the 20-182 s TPU compile
-    p = argparse.ArgumentParser(description="keypoints_tpu trainer")
+    # allow_abbrev=False: an abbreviated `--super 2` would parse as
+    # --supervise but survive _strip_flag in the child argv — every child
+    # would become another supervisor (an unbounded process chain)
+    p = argparse.ArgumentParser(description="keypoints_tpu trainer",
+                                allow_abbrev=False)
     p.add_argument("--preset", default="pong64")
     p.add_argument("--override", nargs="*", default=[],
                    help="dotted overrides, e.g. train.lr=3e-4")

@@ -647,6 +647,7 @@ def test_train_cli_dry_run(tmp_path, monkeypatch, capsys):
     from keypoints_tpu import train as train_mod
     monkeypatch.chdir(tmp_path)
     train_mod.main(["--preset", "pong64", "--steps", "4", "--dry-run",
+                    "--logdir", str(tmp_path / "dr_logs"),
                     "--override",
                     "model.encoder_filters=(8,16)",
                     "model.encoder_strides=(2,2)",
@@ -660,6 +661,17 @@ def test_train_cli_dry_run(tmp_path, monkeypatch, capsys):
     assert "frames/s" not in out                  # no training happened
     import os
     assert not os.path.exists("checkpoints")
+    # "no disk writes" includes the logdir: no event dir, no metrics.jsonl
+    assert not (tmp_path / "dr_logs").exists()
+
+
+def test_train_cli_rejects_abbreviated_flags():
+    """allow_abbrev=False: an abbreviated --super would parse as --supervise
+    but survive _strip_flag in the child argv, making every child another
+    supervisor (an unbounded process chain)."""
+    from keypoints_tpu import train as train_mod
+    with pytest.raises(SystemExit):
+        train_mod.main(["--preset", "pong64", "--super", "2"])
 
 
 def test_train_loop_with_grad_accum(tmp_path, monkeypatch):

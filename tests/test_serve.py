@@ -333,16 +333,37 @@ def test_http_server_end_to_end(bundle, tmp_path):
         meta_calls["n"] += 1
         return orig_meta(u, timeout=timeout)
     serve.http_meta, _saved = counting_meta, serve.http_meta
+    serve._META_CACHE.clear()
     try:
         kp_big = serve.http_extract(url, big)
+        np.testing.assert_allclose(
+            kp_big, np.asarray(direct(jnp.asarray(big))), rtol=0, atol=1e-6)
+        # the split (9 rows over max bucket 4 = 3 chunks) fetches meta ONCE
+        assert meta_calls["n"] == 1
+        serve.http_extract(url, big)
+        assert meta_calls["n"] == 1      # second call hits the per-URL cache
+        serve._META_CACHE.clear()
+        one = serve.http_extract(url, imgs[:1])
+        np.testing.assert_allclose(one, kp[:1], rtol=0, atol=0)
+        assert meta_calls["n"] == 1      # single row never needs /meta
     finally:
         serve.http_meta = _saved
-    np.testing.assert_allclose(
-        kp_big, np.asarray(direct(jnp.asarray(big))), rtol=0, atol=1e-6)
-    # the split (9 rows over max bucket 4 = 3 chunks) fetches meta ONCE
-    assert meta_calls["n"] == 1
     with pytest.raises(ValueError, match="rejected"):
         serve.http_extract(url, np.zeros((2, 1, 8, 8), np.float32))
+
+
+def test_http_client_connection_failure_is_runtime_error():
+    """The documented retryable contract covers connection-level faults:
+    refused/reset/timeout raise RuntimeError, not raw URLError (a caller
+    following `except RuntimeError: retry` must not crash on the most
+    common retryable failure)."""
+    from keypoints_tpu import serve
+    url = "http://localhost:1"            # nothing listens on port 1
+    with pytest.raises(RuntimeError, match="metadata fetch failed"):
+        serve.http_meta(url, timeout=2.0)
+    with pytest.raises(RuntimeError, match="extraction failed"):
+        serve.http_extract(url, np.zeros((1, 1, 8, 8), np.float32),
+                           timeout=2.0)
 
 
 def test_export_cli_smoke(tmp_path, capsys):
