@@ -89,6 +89,62 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, tx=None,
     return jax.jit(shard_fn, donate_argnums=(0,))
 
 
+def make_dp_extract(cfg: Config, params, batches: Sequence[int],
+                    mesh: Optional[Mesh] = None):
+    """Data-parallel serving: → a ``BucketedExtract`` running on a mesh.
+
+    The extract path (Ψ → soft-argmax; SURVEY §3.3) is embarrassingly
+    row-parallel, so scaling it over a slice is pure DP: params replicated
+    once, the request batch split over the ``data`` axis, zero collectives
+    in the program. Each device runs the whole extractor on its local
+    ``b/n_dev`` rows via ``shard_map`` — the Pallas kernels see local
+    shapes, so no GSPMD partitioning of opaque custom calls is needed.
+
+    Bucket sizes must be divisible by the mesh size (each device gets a
+    static local shape — the TPU fast path). The returned object plugs into
+    ``serve.BatchingExtractor`` / the HTTP CLI exactly like an AOT bundle;
+    requests pad up to the smallest covering bucket and oversized requests
+    split into max-bucket chunks (rows independent ⇒ exact).
+    """
+    from keypoints_tpu.export import BucketedExtract
+    from keypoints_tpu.training import make_extract_fn
+
+    mesh = mesh if mesh is not None else data_parallel_mesh()
+    n_dev = mesh.devices.size
+    sizes = sorted({int(b) for b in batches})
+    if not sizes or sizes[0] < 1:
+        raise ValueError(f"invalid bucket list {batches!r}")
+    bad = [b for b in sizes if b % n_dev]
+    if bad:
+        raise ValueError(
+            f"bucket sizes {bad} not divisible by the {n_dev}-device mesh "
+            f"(each device needs a static local batch)")
+
+    model = build_model(cfg)
+    extract = make_extract_fn(cfg, model)
+    sharded = jax.jit(jax.shard_map(
+        extract, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    ))
+    params_r = replicate(mesh, params)
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    def fn(images):
+        # one H2D placement splits the (already bucket-padded) batch over
+        # the data axis; jit specializes per bucket shape, compiled once
+        return sharded(params_r, jax.device_put(images, batch_sharding))
+
+    d = cfg.data
+    meta = {"format": "keypoints-extract-bundle", "version": 1,
+            "batches": sizes, "image_size": d.image_size,
+            "channels": d.channels,
+            "num_keypoints": cfg.model.num_keypoints,
+            "data_parallel_devices": n_dev}
+    return BucketedExtract({b: fn for b in sizes}, meta)
+
+
 def make_dp_fused_chunk(cfg: Config, mesh: Mesh, sampler,
                         loss: Optional[Callable] = None,
                         tx=None) -> Callable:

@@ -230,6 +230,33 @@ def http_extract(url: str, images: np.ndarray,
                                for i in range(0, images.shape[0], limit)])
 
 
+def _dp_extract_from_args(args) -> "BucketedExtract":
+    """--preset mode: live data-parallel extract over the local mesh."""
+    import jax
+
+    from keypoints_tpu import checkpoint as ckpt
+    from keypoints_tpu.configs import apply_overrides, get_config
+    from keypoints_tpu.parallel.dp import data_parallel_mesh, make_dp_extract
+    from keypoints_tpu.training import TrainState, init_state
+
+    cfg = apply_overrides(get_config(args.preset), args.override)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    if args.checkpoint:
+        mgr = ckpt.make_manager(args.checkpoint)
+        step, restored = ckpt.restore_latest(mgr, state._asdict())
+        if step is None:
+            raise SystemExit(f"no checkpoint found in {args.checkpoint}")
+        state = TrainState(**restored)
+        print(f"serving params from step {step}", flush=True)
+    else:
+        print("WARNING: no --checkpoint, serving random-init params",
+              flush=True)
+    devices = jax.devices()[:args.devices] if args.devices else None
+    mesh = data_parallel_mesh(devices)
+    print(f"data-parallel mesh: {mesh.devices.size} device(s)", flush=True)
+    return make_dp_extract(cfg, state.params, args.batch, mesh)
+
+
 def _cli(argv=None):
     import argparse
     import io
@@ -242,8 +269,24 @@ def _cli(argv=None):
     enable_compile_cache()
     p = argparse.ArgumentParser(
         description="HTTP keypoint-extraction server over an exported "
-                    "artifact (single or bucket bundle)")
-    p.add_argument("--artifact", required=True)
+                    "artifact (single or bucket bundle), or live "
+                    "data-parallel over a device mesh via --preset")
+    p.add_argument("--artifact", default=None,
+                   help="exported StableHLO artifact/bundle (single-device)")
+    p.add_argument("--preset", default=None,
+                   help="serve live from a config+checkpoint instead of an "
+                        "artifact; shards each batch over the local device "
+                        "mesh (data-parallel serving)")
+    p.add_argument("--checkpoint", default=None,
+                   help="Orbax checkpoint dir for --preset mode (omit for "
+                        "random-init smoke serving)")
+    p.add_argument("--batch", type=int, nargs="+", default=[256],
+                   help="bucket sizes for --preset mode (each must divide "
+                        "by the mesh size)")
+    p.add_argument("--devices", type=int, default=None,
+                   help="mesh size for --preset mode (default: all local "
+                        "devices)")
+    p.add_argument("--override", nargs="*", default=[])
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-delay-ms", type=float, default=5.0,
                    help="how long a request waits for co-travelers")
@@ -253,7 +296,12 @@ def _cli(argv=None):
                         "compile, seconds to minutes on TPU)")
     args = p.parse_args(argv)
 
-    extract = load_extract(args.artifact)
+    if (args.artifact is None) == (args.preset is None):
+        p.error("exactly one of --artifact / --preset is required")
+    if args.artifact is not None:
+        extract = load_extract(args.artifact)
+    else:
+        extract = _dp_extract_from_args(args)
     assert isinstance(extract, BucketedExtract)   # single artifact = 1 bucket
     max_batch, meta = extract.max_batch, extract.meta
     if not args.no_warmup:
@@ -309,7 +357,8 @@ def _cli(argv=None):
             pass
 
     httpd = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
-    print(f"serving {args.artifact} on :{args.port} "
+    source = args.artifact or f"--preset {args.preset} (data-parallel)"
+    print(f"serving {source} on :{args.port} "
           f"(buckets {meta['batches']}, {meta['image_size']}px, "
           f"K={meta['num_keypoints']})", flush=True)
     try:
