@@ -111,11 +111,14 @@ def collect(out_path: str, env_name: Optional[str] = "ALE/Pong-v5",
     if env_name and _ale_available(env_name):
         frames, lengths = collect_ale(env_name, episodes, steps_per_episode,
                                       size, seed)
+        # real ALE frames: scripted-Pong ground truth does NOT apply
+        meta = {"origin": "ale", "env": env_name, "seed": seed}
     else:
         frames, lengths = collect_scripted_pong(episodes, steps_per_episode,
                                                 size, seed)
+        meta = {"origin": "scripted_pong", "seed": seed}
     pairs = episode_pairs(lengths, delta)
-    FrameStore.write(out_path, frames, pairs)
+    FrameStore.write(out_path, frames, pairs, meta=meta)
     return out_path
 
 

@@ -144,15 +144,18 @@ class DeviceDataset:
 # the compile payload (a 393 MB pose store overflowed the remote-compile
 # tunnel with HTTP 413 before this split).
 
-def sample_frames(frames: jnp.ndarray, key: jax.Array,
-                  batch: int) -> jnp.ndarray:
-    idx = jax.random.randint(key, (batch,), 0, frames.shape[0])
+def sample_frames(frames: jnp.ndarray, key: jax.Array, batch: int,
+                  limit: Optional[int] = None) -> jnp.ndarray:
+    """``limit`` (static) restricts sampling to frames [0, limit) — the
+    trainer reserves the store tail for held-out scoring (train.py)."""
+    idx = jax.random.randint(key, (batch,), 0, limit or frames.shape[0])
     return jnp.take(frames, idx, axis=0).astype(jnp.float32) / 255.0
 
 
 def sample_pair_frames(frames: jnp.ndarray, pairs: jnp.ndarray,
-                       key: jax.Array, batch: int):
-    row = jax.random.randint(key, (batch,), 0, pairs.shape[0])
+                       key: jax.Array, batch: int,
+                       limit: Optional[int] = None):
+    row = jax.random.randint(key, (batch,), 0, limit or pairs.shape[0])
     ij = jnp.take(pairs, row, axis=0)                             # (B, 2)
     a = jnp.take(frames, ij[:, 0], axis=0)
     b = jnp.take(frames, ij[:, 1], axis=0)

@@ -94,5 +94,6 @@ def generate_face_store(out_path: str, count: int = 2048, size: int = 128,
     for i in range(0, count, chunk):
         n = min(chunk, count - i)
         frames.append((_render_chunk(n, size, rng) * 255).astype(np.uint8))
-    FrameStore.write(out_path, np.concatenate(frames))
+    FrameStore.write(out_path, np.concatenate(frames),
+                     meta={"origin": "synthetic_faces", "seed": seed})
     return out_path

@@ -143,5 +143,6 @@ def generate_pose_store(out_path: str, episodes: int = 20,
         frames.append(_render_episode(segs, size))
         lengths.append(steps_per_episode)
     arr = (np.clip(np.concatenate(frames), 0, 1) * 255).astype(np.uint8)
-    FrameStore.write(out_path, arr, episode_pairs(lengths, delta))
+    FrameStore.write(out_path, arr, episode_pairs(lengths, delta),
+                     meta={"origin": "synthetic_pose", "seed": seed})
     return out_path

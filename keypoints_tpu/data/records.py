@@ -38,6 +38,38 @@ def pairs_path(path: str) -> str:
     return store_path(path)[:-len(".npy")] + "_pairs.npy"
 
 
+def meta_path(path: str) -> str:
+    """The provenance-sidecar filename that belongs to a frame store."""
+    return store_path(path)[:-len(".npy")] + "_meta.json"
+
+
+def write_store_meta(path: str, meta: dict) -> None:
+    """Record store provenance (``origin`` + writer details) atomically.
+
+    Every writer stamps its output: synthetic generators record an
+    ``origin`` the eval harness recognizes (so keypoint-locking ground truth
+    may honestly be regenerated from the same simulator), real-footage
+    ingests record their source (so eval REFUSES to fabricate ground truth
+    for them — VERDICT r3 #5). A store without a sidecar is treated as real
+    footage: the conservative reading for pre-sidecar stores.
+    """
+    import json
+    mp = meta_path(path)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, mp)
+
+
+def read_store_meta(path: str) -> dict:
+    import json
+    mp = meta_path(path)
+    if not os.path.exists(mp):
+        return {}
+    with open(mp) as f:
+        return json.load(f)
+
+
 class FrameStore:
     """A packed uint8 frame array on disk, with optional temporal-pair index."""
 
@@ -47,13 +79,16 @@ class FrameStore:
         ppath = pairs_path(self.path)
         self.pairs = (np.load(ppath, mmap_mode="r")
                       if os.path.exists(ppath) else None)
+        #: provenance sidecar ({} for pre-sidecar / hand-built stores)
+        self.meta = read_store_meta(self.path)
 
     def __len__(self) -> int:
         return len(self.pairs) if self.pairs is not None else len(self.frames)
 
     @staticmethod
     def write(path: str, frames: np.ndarray,
-              pairs: Optional[np.ndarray] = None) -> None:
+              pairs: Optional[np.ndarray] = None,
+              meta: Optional[dict] = None) -> None:
         assert frames.dtype == np.uint8 and frames.ndim == 4
         path = store_path(path)
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -62,6 +97,10 @@ class FrameStore:
             np.save(pairs_path(path), pairs.astype(np.int32))
         elif os.path.exists(pairs_path(path)):
             os.remove(pairs_path(path))    # don't let an old index linger
+        if meta is not None:
+            write_store_meta(path, meta)
+        elif os.path.exists(meta_path(path)):
+            os.remove(meta_path(path))     # stale provenance must not apply
 
 
 def episode_pairs(episode_lengths: list[int], delta: int = 1) -> np.ndarray:
@@ -114,16 +153,21 @@ def _iter_from(ds, start_batch: int, workers: int = 1, depth: int = 8):
 
 def single_stream(store: FrameStore, batch_size: int, seed: int = 0,
                   shard_index: int = 0, shard_count: int = 1,
-                  start_batch: int = 0, workers: int = 1
-                  ) -> Iterator[jnp.ndarray]:
-    """Infinite shuffled stream of single-frame batches (warp-mode datasets)."""
+                  start_batch: int = 0, workers: int = 1,
+                  limit: Optional[int] = None) -> Iterator[jnp.ndarray]:
+    """Infinite shuffled stream of single-frame batches (warp-mode datasets).
+
+    ``limit`` restricts the stream to frames ``[0, limit)`` — the trainer
+    reserves the store tail as a held-out scoring slice (train.py).
+    """
     import grain
     # grain handles INDICES only (shuffle/shard/repeat/batch of ints); the
     # frame read is ONE vectorized fancy-index per batch — a per-ELEMENT
     # python map measured GIL-bound at ~600-900 frames/s regardless of
     # worker count; the batch-level numpy read does a C-speed gather.
     ds = (grain.MapDataset.source(
-              grain.sources.RangeDataSource(0, len(store.frames), 1))
+              grain.sources.RangeDataSource(
+                  0, limit if limit is not None else len(store.frames), 1))
           [shard_index::shard_count]
           .shuffle(seed=seed).repeat()
           .batch(batch_size)
@@ -134,9 +178,14 @@ def single_stream(store: FrameStore, batch_size: int, seed: int = 0,
 
 def pair_stream(store: FrameStore, batch_size: int, seed: int = 0,
                 shard_index: int = 0, shard_count: int = 1,
-                start_batch: int = 0, workers: int = 1
+                start_batch: int = 0, workers: int = 1,
+                limit: Optional[int] = None
                 ) -> Iterator[tuple[jnp.ndarray, jnp.ndarray]]:
-    """Infinite shuffled stream of (frame_t, frame_{t+Δ}) batches."""
+    """Infinite shuffled stream of (frame_t, frame_{t+Δ}) batches.
+
+    ``limit`` restricts the stream to pair rows ``[0, limit)`` — the
+    trainer reserves the tail pairs as a held-out scoring slice (train.py).
+    """
     import grain
     assert store.pairs is not None, "store has no temporal-pair index"
 
@@ -145,7 +194,8 @@ def pair_stream(store: FrameStore, batch_size: int, seed: int = 0,
         return store.frames[ij[:, 0]], store.frames[ij[:, 1]]
 
     ds = (grain.MapDataset.source(
-              grain.sources.RangeDataSource(0, len(store.pairs), 1))
+              grain.sources.RangeDataSource(
+                  0, limit if limit is not None else len(store.pairs), 1))
           [shard_index::shard_count]
           .shuffle(seed=seed).repeat()
           .batch(batch_size)
@@ -235,6 +285,8 @@ def image_folder_to_store(folder: str, out_path: str, size: int,
             os.remove(tmp_path)
     if os.path.exists(pairs_path(out_path)):   # frames-only writer: a stale
         os.remove(pairs_path(out_path))        # index must not apply here
+    write_store_meta(out_path, {"origin": "image_folder",
+                                "source": os.path.abspath(folder)})
     return out_path
 
 
@@ -345,4 +397,6 @@ def video_to_store(source: str, out_path: str, size: int, channels: int = 3,
             os.remove(pairs_path(out_path))        # index linger
     else:
         np.save(pairs_path(out_path), pairs.astype(np.int32))
+    write_store_meta(out_path, {"origin": "video",
+                                "source": os.path.abspath(source)})
     return out_path

@@ -8,6 +8,7 @@ into the parity numbers), reporting reconstruction loss, keypoint spread, and
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import jax
@@ -120,6 +121,103 @@ def synthetic_eval_batch(cfg: Config, batch: int, key: jax.Array):
     return src, tgt, np.asarray(pos)
 
 
+#: store origins whose frames come from this repo's own simulators — for
+#: these (and only these) the matching synthetic generator IS the honest
+#: ground-truth source for locking metrics.
+_SYNTHETIC_ORIGIN_FOR = {"pose": "synthetic_pose",
+                         "celeba": "synthetic_faces",
+                         "atari": "scripted_pong"}
+
+
+def store_eval_batch(cfg: Config, store, batch: int, key: jax.Array,
+                     landmarks: Optional[np.ndarray] = None):
+    """→ (src, tgt, true_positions | None) drawn from a REAL frame store.
+
+    Uses the store TAIL — the slice ``train.scoring_holdout`` reserves from
+    training when the store is big enough — so eval data is held out
+    whenever training held it out. Pairs are built exactly like training:
+    temporal mode takes stored (frame_t, frame_{t+Δ}) pairs; warp mode
+    applies one fixed independently-warped pair. ``landmarks`` is an
+    optional (num_frames, K, 2) array of normalized (x, y) ground truth
+    aligned with store frame indices; warp mode carries it through the
+    target warp (augment.make_pair_with_positions). Without it, locking is
+    honestly unavailable (VERDICT r3 #5 — never score locking against
+    ground truth from an unrelated simulator).
+    """
+    d = cfg.data
+    temporal = d.pair_mode == "temporal" and store.pairs is not None
+    n_items = len(store.pairs) if temporal else len(store.frames)
+    take = min(batch, n_items)
+    if landmarks is not None and len(landmarks) != len(store.frames):
+        raise ValueError(
+            f"landmarks rows ({len(landmarks)}) must match store frames "
+            f"({len(store.frames)})")
+    if temporal:
+        ij = np.asarray(store.pairs[n_items - take:])
+        src = jnp.asarray(store.frames[ij[:, 0]]).astype(jnp.float32) / 255.0
+        tgt = jnp.asarray(store.frames[ij[:, 1]]).astype(jnp.float32) / 255.0
+        pos = None if landmarks is None else np.asarray(landmarks[ij[:, 1]])
+        return src, tgt, pos
+    idx = np.arange(n_items - take, n_items)
+    frames = jnp.asarray(store.frames[idx]).astype(jnp.float32) / 255.0
+    from keypoints_tpu.training import warp_config
+    wcfg = warp_config(cfg)
+    if not (wcfg.field_res and wcfg.field_res < d.image_size):
+        return frames, frames, (None if landmarks is None
+                                else np.asarray(landmarks[idx]))
+    if landmarks is None:
+        from keypoints_tpu.data.augment import make_pair
+        src, tgt = jax.jit(lambda k, f: make_pair(k, f, wcfg))(
+            jax.random.fold_in(key, 1), frames)
+        return src, tgt, None
+    from keypoints_tpu.data.augment import make_pair_with_positions
+    src, tgt, pos_t = jax.jit(
+        lambda k, f, m: make_pair_with_positions(k, f, m, wcfg))(
+        jax.random.fold_in(key, 1), frames,
+        jnp.asarray(landmarks[idx], jnp.float32))
+    return src, tgt, np.asarray(pos_t)
+
+
+def eval_batch_for(cfg: Config, batch: int, key: jax.Array,
+                   landmarks_path: Optional[str] = None):
+    """Route to the honest eval set for this config (SURVEY §3.5: the eval
+    set is the parity set — it must be the distribution the model trains
+    on, with ground truth only when ground truth really exists).
+
+    * purely synthetic datasets → the matching generator (exact GT);
+    * store-backed datasets whose store sidecar marks the matching
+      synthetic origin → the generator too (same distribution, exact GT);
+    * anything else (real ALE, ingested video/images, sidecar-less
+      stores) → frames from the store itself; locking only when the
+      caller supplies ``--landmarks`` (else None → locking skipped).
+    """
+    d = cfg.data
+    landmarks = (None if landmarks_path is None
+                 else np.load(landmarks_path))
+    if d.dataset in ("synthetic_dots", "synthetic_pong"):
+        if landmarks is not None:
+            raise SystemExit(f"--landmarks does not apply to the "
+                             f"{d.dataset} generator (GT is built in)")
+        return synthetic_eval_batch(cfg, batch, key)
+    sp = f"{d.data_dir}/{d.dataset}_{d.image_size}.npy"
+    if not os.path.exists(sp):
+        if landmarks is not None:
+            raise SystemExit(f"--landmarks given but no store at {sp}")
+        return synthetic_eval_batch(cfg, batch, key)  # trainer-synthesized
+    from keypoints_tpu.data.records import FrameStore
+    store = FrameStore(sp)
+    if (landmarks is None
+            and store.meta.get("origin") == _SYNTHETIC_ORIGIN_FOR.get(
+                d.dataset)):
+        return synthetic_eval_batch(cfg, batch, key)
+    if landmarks is None:
+        print(f"store-backed eval ({sp}): no ground-truth landmarks — "
+              f"locking/PCK skipped (pass --landmarks pos.npy with "
+              f"(num_frames, K, 2) normalized coords to score them)",
+              flush=True)
+    return store_eval_batch(cfg, store, batch, key, landmarks)
+
+
 def coordinate_parity(cfg: Config, params, golden_fn: Callable,
                       images: np.ndarray) -> float:
     """Max keypoint L2 vs a golden model on a fixed set — the <1e-3 bar [B:5]."""
@@ -141,9 +239,11 @@ def _cli(argv=None):
     from keypoints_tpu import checkpoint as ckpt
     from keypoints_tpu.configs import get_config
     from keypoints_tpu.training import TrainState, init_state
+    from keypoints_tpu.parallel import multihost
     from keypoints_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    multihost.initialize()   # multi-host bootstrap; no-op single-process
 
     p = argparse.ArgumentParser(
         description="evaluate a trained checkpoint or an exported artifact")
@@ -160,6 +260,11 @@ def _cli(argv=None):
                         "scores the thing you actually deploy")
     p.add_argument("--override", nargs="*", default=[])
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--landmarks", default=None, metavar="POS_NPY",
+                   help="ground-truth landmarks for store-backed datasets: "
+                        "a (num_frames, K, 2) .npy of normalized (x, y) "
+                        "aligned with store frame indices — enables "
+                        "locking/PCK on real footage")
     p.add_argument("--overlay", default=None,
                    help="write a keypoint-overlay PNG here")
     args = p.parse_args(argv)
@@ -169,8 +274,8 @@ def _cli(argv=None):
     from keypoints_tpu.configs import apply_overrides
     cfg = apply_overrides(get_config(args.preset), args.override)
 
-    src, tgt, pos = synthetic_eval_batch(cfg, args.batch,
-                                         jax.random.PRNGKey(7))
+    src, tgt, pos = eval_batch_for(cfg, args.batch, jax.random.PRNGKey(7),
+                                   landmarks_path=args.landmarks)
     if args.artifact:
         from keypoints_tpu.export import load_extract
         fn = load_extract(args.artifact)

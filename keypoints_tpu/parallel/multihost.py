@@ -25,7 +25,12 @@ def initialize(coordinator_address: Optional[str] = None,
     on Cloud TPU pods ``jax.distributed.initialize()`` auto-detects).
     """
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr is None and "TPU_WORKER_HOSTNAMES" not in os.environ:
+    # TPU_WORKER_HOSTNAMES counts as pod configuration only when it names
+    # MORE THAN ONE worker: single-chip plugins (the axon tunnel here) set
+    # it to "localhost", and jax.distributed.initialize() without a real
+    # coordinator just raises.
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if addr is None and len([w for w in workers.split(",") if w]) <= 1:
         return  # single process
     kwargs = {}
     if addr:

@@ -264,9 +264,11 @@ def _cli(argv=None):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from keypoints_tpu.export import BucketedExtract, load_extract
+    from keypoints_tpu.parallel import multihost
     from keypoints_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    multihost.initialize()   # multi-host bootstrap; no-op single-process
     p = argparse.ArgumentParser(
         description="HTTP keypoint-extraction server over an exported "
                     "artifact (single or bucket bundle), or live "

@@ -93,11 +93,18 @@ def make_batch_iterator(cfg: Config, start_step: int = 0) -> Iterator:
                 f"data.records.image_folder_to_store or point data.data_dir "
                 f"at an existing store")
     store = FrameStore(store_path)
+    # Reserve the store tail for best-checkpoint scoring: the scored pair
+    # must be data training NEVER sees (VERDICT r3 #6). Same holdout for
+    # resident and stream sources so a store switches paths transparently.
+    n_items = (len(store.pairs) if d.pair_mode == "temporal"
+               and store.pairs is not None else len(store.frames))
+    holdout = scoring_holdout(cfg, n_items)
+    limit = n_items - holdout if holdout else None
     from keypoints_tpu.data.device import DeviceDataset, fits_in_memory
     if fits_in_memory(store):
         ds = DeviceDataset(store)
         return DeviceResidentBatches(ds, b, d.pair_mode, cfg.train.seed,
-                                     start_step)
+                                     start_step, limit=limit)
     # bigger-than-HBM: grain host streams. Under multi-host DP each process
     # reads only its own index shard at its local batch size (SURVEY §2.4
     # "per-host Grain sharding"); single-process runs see (0, 1) and the
@@ -109,11 +116,11 @@ def make_batch_iterator(cfg: Config, start_step: int = 0) -> Iterator:
         return prefetch(pair_stream(store, lb, cfg.train.seed,
                                     shard_index=pid, shard_count=n_hosts,
                                     start_batch=start_step,
-                                    workers=d.loader_workers))
+                                    workers=d.loader_workers, limit=limit))
     return prefetch(single_stream(store, lb, cfg.train.seed,
                                   shard_index=pid, shard_count=n_hosts,
                                   start_batch=start_step,
-                                  workers=d.loader_workers))
+                                  workers=d.loader_workers, limit=limit))
 
 
 class InStepBatches:
@@ -189,17 +196,20 @@ class SyntheticBatches(InStepBatches):
 class DeviceResidentBatches(InStepBatches):
     """Whole store in HBM; frames/pairs ride through the step as ARGUMENTS
     (a closed-over device array would be serialized into the remote-compile
-    payload — see data/device.py)."""
+    payload — see data/device.py). ``limit`` restricts sampling to the
+    first ``limit`` frames/pairs — the tail is the held-out scoring slice
+    (``scoring_holdout``)."""
 
     _key_salt = 3
 
     def __init__(self, ds, batch: int, pair_mode: str, seed: int,
-                 start_step: int):
+                 start_step: int, limit: int | None = None):
         self.ds = ds
         self.batch = batch
         self.pair_mode = pair_mode
         self.seed = seed
         self.start_step = start_step
+        self.limit = limit
 
     def args(self):
         if self.pair_mode == "temporal":
@@ -210,8 +220,55 @@ class DeviceResidentBatches(InStepBatches):
         from keypoints_tpu.data.device import (sample_frames,
                                                sample_pair_frames)
         if self.pair_mode == "temporal":
-            return sample_pair_frames(args[0], args[1], key, n)
-        return sample_frames(args[0], key, n)
+            return sample_pair_frames(args[0], args[1], key, n,
+                                      limit=self.limit)
+        return sample_frames(args[0], key, n, limit=self.limit)
+
+
+def scoring_holdout(cfg: Config, n_items: int) -> int:
+    """How many tail items (frames in warp mode, pairs in temporal mode) a
+    store reserves for best-checkpoint scoring: the scored pair must be
+    UNSEEN by training in every source mode (VERDICT r3 #6). Synthetic
+    generators need no holdout (an independent key IS unseen data); tiny
+    stores (< 4× the scoring rows, e.g. test fixtures) skip the holdout
+    rather than starve training — scoring then falls back to the legacy
+    seen-batch draw, documented at the eval_pair construction site."""
+    rows = min(8, cfg.train.batch_size)
+    return rows if n_items >= 4 * rows else 0
+
+
+def heldout_scoring_pair(cfg: Config):
+    """→ fixed (src, tgt) scoring pair from the store's held-out tail, or
+    None (synthetic datasets / missing store / store too small to reserve).
+
+    Reads the SAME tail ``make_batch_iterator`` excluded from training:
+    temporal mode scores the last ``rows`` stored pairs; warp mode applies
+    one fixed independently-keyed warp pair to the last ``rows`` frames
+    (the training objective's distribution, like the in-step aug).
+    """
+    d = cfg.data
+    if d.dataset in ("synthetic_dots", "synthetic_pong"):
+        return None
+    sp = f"{d.data_dir}/{d.dataset}_{d.image_size}.npy"
+    if not os.path.exists(sp):
+        return None
+    store = FrameStore(sp)
+    temporal = d.pair_mode == "temporal" and store.pairs is not None
+    n_items = len(store.pairs) if temporal else len(store.frames)
+    holdout = scoring_holdout(cfg, n_items)
+    if not holdout:
+        return None
+    if temporal:
+        ij = np.asarray(store.pairs[n_items - holdout:])
+        a = jnp.asarray(store.frames[ij[:, 0]]).astype(jnp.float32) / 255.0
+        b = jnp.asarray(store.frames[ij[:, 1]]).astype(jnp.float32) / 255.0
+        return a, b
+    frames = jnp.asarray(
+        store.frames[n_items - holdout:]).astype(jnp.float32) / 255.0
+    from keypoints_tpu.data.augment import make_pair
+    from keypoints_tpu.training import warp_config
+    return jax.jit(lambda k, f: make_pair(k, f, warp_config(cfg)))(
+        jax.random.PRNGKey(cfg.train.seed + 9), frames)
 
 
 #: HBM kept free for runtime/framework overhead beyond XLA's own accounting
@@ -639,12 +696,17 @@ def train(cfg: Config, logdir: str | None = None,
                                      to_hwc(np.asarray(recon)))))
                 if best is not None:
                     if eval_pair is None:
-                        # a FIXED pair scored with the training objective.
-                        # Fused sources: drawn once with an INDEPENDENT base key
-                        # (not the step-key sequence the loop trains on). Stream
-                        # sources: the pinned first batch is the nearest
-                        # available fixed draw; warp mode still applies an
-                        # independent warp, so the exact scored pair is unseen.
+                        # a FIXED pair scored with the training objective,
+                        # on UNSEEN data in every source mode (VERDICT r3
+                        # #6): store-backed sources score the held-out tail
+                        # that make_batch_iterator excluded from training;
+                        # synthetic sources draw with an INDEPENDENT base
+                        # key (a fresh draw IS unseen data — the fused/
+                        # stream symmetry). Only a store too small to
+                        # reserve a tail (test fixtures) falls back to the
+                        # legacy seen-batch draw.
+                        eval_pair = heldout_scoring_pair(cfg)
+                    if eval_pair is None:
                         held = (sample_replicated(
                                     jax.random.PRNGKey(t.seed + 101),
                                     min(8, t.batch_size))
@@ -813,6 +875,11 @@ def main(argv=None):
                                     args.supervise))
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # Multi-host bootstrap (SURVEY §2.4): must run before any device access
+    # so jax.distributed can wire DCN process coordination on pods. A no-op
+    # in single-process runs (VERDICT r3 #3 — no custom launcher needed).
+    from keypoints_tpu.parallel import multihost
+    multihost.initialize()
 
     from keypoints_tpu.configs import apply_overrides
     cfg = apply_overrides(get_config(args.preset), args.override)

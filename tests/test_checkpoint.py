@@ -173,6 +173,7 @@ def test_export_torch_forward_agreement(tmp_path):
                                atol=5e-5)
 
 
+@pytest.mark.slow
 def test_export_torch_cli(tmp_path):
     """Orbax training checkpoint → .pt via the CLI; values match params."""
     cfg = _small_cfg()

@@ -557,3 +557,70 @@ def test_store_writer_hygiene(tmp_path):
     with pytest.raises(ValueError, match="zz_bad.jpg"):
         image_folder_to_store(str(folder), str(dest), size=8)
     assert not dest.exists() and not (tmp_path / "bad.npy.tmp").exists()
+
+
+def test_store_meta_provenance(tmp_path):
+    """Every writer stamps origin provenance; FrameStore exposes it; stale
+    sidecars never apply to rewritten stores (VERDICT r3 #5)."""
+    import cv2
+    from keypoints_tpu.data.collect import collect
+    from keypoints_tpu.data.faces import generate_face_store
+    from keypoints_tpu.data.records import image_folder_to_store
+
+    # meta round-trip + stale removal through FrameStore.write
+    p = str(tmp_path / "s.npy")
+    FrameStore.write(p, np.zeros((2, 1, 4, 4), np.uint8),
+                     meta={"origin": "x"})
+    assert FrameStore(p).meta == {"origin": "x"}
+    FrameStore.write(p, np.zeros((2, 1, 4, 4), np.uint8))
+    assert FrameStore(p).meta == {}
+
+    fp = str(tmp_path / "celeba_16.npy")
+    generate_face_store(fp, count=4, size=16, seed=0, chunk=4)
+    assert FrameStore(fp).meta["origin"] == "synthetic_faces"
+
+    cp = str(tmp_path / "atari_16.npy")
+    collect(cp, env_name=None, episodes=1, steps_per_episode=4, size=16)
+    assert FrameStore(cp).meta["origin"] == "scripted_pong"
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    cv2.imwrite(str(folder / "0.png"), np.zeros((8, 8, 3), np.uint8))
+    ip = image_folder_to_store(str(folder), str(tmp_path / "real"), size=8)
+    assert FrameStore(ip).meta["origin"] == "image_folder"
+
+
+def test_stream_and_resident_limit_exclude_tail(tmp_path):
+    """``limit`` keeps both the grain streams and the device-resident
+    samplers strictly inside [0, limit): the tail is the held-out
+    best-scoring slice and must be unseen by training (VERDICT r3 #6).
+    Tail frames are marked 255 so a single leaked sample is detectable."""
+    import jax
+    from keypoints_tpu.data.device import sample_frames, sample_pair_frames
+    from keypoints_tpu.data.records import (episode_pairs, pair_stream,
+                                            single_stream)
+
+    n, tail = 40, 8
+    frames = np.zeros((n, 1, 8, 8), np.uint8)
+    frames[n - tail:] = 255
+    pairs = episode_pairs([n])                      # (39, 2) in index order
+    p = str(tmp_path / "s.npy")
+    FrameStore.write(p, frames, pairs)
+    store = FrameStore(p)
+
+    it = single_stream(store, 16, seed=0, limit=n - tail)
+    for _ in range(20):
+        assert float(np.asarray(next(it)).max()) < 1.0
+    itp = pair_stream(store, 16, seed=0, limit=len(pairs) - tail)
+    for _ in range(20):
+        a, b = next(itp)
+        # held-out pair rows reference tail frames; none may appear
+        assert float(np.asarray(b).max()) < 1.0
+
+    fr = jnp.asarray(frames)
+    pr = jnp.asarray(pairs)
+    for i in range(10):
+        k = jax.random.PRNGKey(i)
+        assert float(sample_frames(fr, k, 16, limit=n - tail).max()) < 1.0
+        _, b = sample_pair_frames(fr, pr, k, 16, limit=len(pairs) - tail)
+        assert float(b.max()) < 1.0

@@ -600,6 +600,7 @@ def test_chunk_cap_shrinks_with_grad_accum(tmp_path, monkeypatch, capsys):
     assert "chunk 25 step(s)/dispatch" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_supervised_restart_recovers_from_crash(tmp_path):
     """--supervise N: a mid-run crash (injected via the KEYPOINTS_TPU_FAULT
     hook) relaunches the trainer, which resumes from the latest checkpoint

@@ -12,6 +12,8 @@ flax→torch exporter (exact inverse at every architecture, not just the
 shipped presets).
 """
 
+import pytest
+
 import copy
 
 import numpy as np
@@ -98,6 +100,7 @@ def _flat(tree) -> dict:
             in jax.tree_util.tree_flatten_with_path(tree)[0]}
 
 
+@pytest.mark.slow
 def test_model_fuzz_forward_grad_and_roundtrip():
     rs = np.random.RandomState(20260818)
     for trial in range(10):

@@ -128,6 +128,7 @@ def test_transporter_forward_parity(variant):
                                atol=5e-5)
 
 
+@pytest.mark.slow
 def test_transporter_gradient_parity():
     """Parameter-gradient agreement pins the stop-grad recipe: torch
     ``.detach()`` on the source branch must equal ``lax.stop_gradient``.

@@ -188,6 +188,7 @@ def test_grid_sample_nearest_vs_torch(align, padding):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_grid_sample_fuzz_vs_torch():
     """Randomized sweep over shapes × modes × paddings × align: 48 draws of
     random sizes with ~25% out-of-bounds points. The fixed-case tests pin
@@ -220,6 +221,7 @@ def test_grid_sample_fuzz_vs_torch():
                     f"{mode}/{padding}/align={align}")
 
 
+@pytest.mark.slow
 def test_bottleneck_ops_fuzz_vs_golden():
     """Randomized sweep for the bottleneck pair (spatial softmax both
     variants + Gaussian raster) vs golden torch: random shapes, K, sharp and
@@ -253,6 +255,7 @@ def test_bottleneck_ops_fuzz_vs_golden():
                     f"align={align}")
 
 
+@pytest.mark.slow
 def test_tps_grid_fuzz_vs_golden():
     """Randomized TPS sweep: control-grid size × output size × perturbation
     scale × align, vs the golden torch TPS."""

@@ -139,6 +139,7 @@ def test_dp_fused_chunk_matches_per_step_dp():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dp_warp_aug_decorrelates_shards_end_to_end():
     """VERDICT r2 #6: in the COMPOSED DP step on a constant replicated batch,
     per-shard losses differ (each shard draws its own warp), and the DP

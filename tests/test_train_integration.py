@@ -129,3 +129,58 @@ def test_grad_accum_matches_full_batch():
     with pytest.raises(ValueError, match=">= 1"):
         make_train_step(_cfg().override(**{"train.grad_accum": 0}),
                         build_model(_cfg()))
+
+
+def test_heldout_scoring_pair_unseen_by_training(tmp_path):
+    """Best-checkpoint scoring data is held out of training for
+    store-backed sources (VERDICT r3 #6): the batch iterator never yields
+    tail content (marked 255), and heldout_scoring_pair returns exactly
+    that tail."""
+    from keypoints_tpu.data.records import FrameStore, episode_pairs
+    from keypoints_tpu.train import (heldout_scoring_pair,
+                                     make_batch_iterator, scoring_holdout)
+
+    n, size = 64, 16
+    frames = np.zeros((n, 3, size, size), np.uint8)
+    frames[-8:] = 255
+    FrameStore.write(str(tmp_path / f"celeba_{size}.npy"), frames)
+
+    cfg = get_config("celeba128").override(**{
+        "data.data_dir": str(tmp_path), "data.image_size": size,
+        "train.batch_size": 16})
+    assert scoring_holdout(cfg, n) == 8
+    src = make_batch_iterator(cfg)
+    it = iter(src)
+    for _ in range(10):
+        batch = next(it)
+        assert float(np.asarray(batch).max()) < 1.0      # tail never seen
+    pair = heldout_scoring_pair(cfg)
+    assert pair is not None
+    # warp-mode pair of the all-255 tail: border padding keeps it ~1.0
+    # everywhere (color jitter scales around the mean, so not exactly 1)
+    assert float(np.asarray(pair[0]).mean()) > 0.5
+    assert pair[0].shape == (8, 3, size, size)
+
+    # temporal mode: the held-out pair is exactly the tail pair rows
+    pairs = episode_pairs([n])
+    FrameStore.write(str(tmp_path / f"atari_{size}.npy"),
+                     frames[:, :1], pairs)
+    cfg_t = get_config("transporter_atari").override(**{
+        "data.data_dir": str(tmp_path), "data.image_size": size,
+        "train.batch_size": 16})
+    it_t = iter(make_batch_iterator(cfg_t))
+    for _ in range(10):
+        a, b = next(it_t)
+        assert float(np.asarray(b).max()) < 1.0
+    a, b = heldout_scoring_pair(cfg_t)
+    ij = pairs[-8:]
+    np.testing.assert_allclose(np.asarray(a),
+                               frames[ij[:, 0], :1].astype(np.float32) / 255)
+
+    # tiny store: no holdout, scoring falls back (documented legacy draw)
+    FrameStore.write(str(tmp_path / f"celeba_{size}.npy"), frames[:16])
+    assert scoring_holdout(cfg, 16) == 0
+    assert heldout_scoring_pair(cfg) is None
+
+    # synthetic datasets need no holdout (independent keys are unseen)
+    assert heldout_scoring_pair(get_config("pong64")) is None

@@ -241,3 +241,77 @@ def test_checkify_step_catches_nonfinite():
     err, _ = run(state, (bad, img), jax.random.PRNGKey(1))
     with pytest.raises(Exception):                 # checkify JaxRuntimeError
         consume(err)
+
+
+def test_eval_batch_for_honest_store_routing(tmp_path, capsys):
+    """eval_batch_for: synthetic-origin stores keep generator ground truth;
+    real stores (no sidecar / ingested footage) get frames FROM the store
+    and no fabricated locking GT unless --landmarks supplies it
+    (VERDICT r3 #5)."""
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.data.faces import generate_face_store
+    from keypoints_tpu.data.records import FrameStore, episode_pairs
+    from keypoints_tpu.eval import eval_batch_for, store_eval_batch
+
+    size = 16
+    key = jax.random.PRNGKey(0)
+    cfg = get_config("celeba128").override(**{
+        "data.data_dir": str(tmp_path), "data.image_size": size,
+        "train.batch_size": 8})
+
+    # no store yet → generator (the trainer would synthesize the same)
+    _, _, pos = eval_batch_for(cfg, 4, key)
+    assert pos is not None
+
+    # synthetic-origin store → generator GT still honest
+    generate_face_store(str(tmp_path / f"celeba_{size}.npy"),
+                        count=32, size=size, seed=0, chunk=16)
+    _, _, pos = eval_batch_for(cfg, 4, key)
+    assert pos is not None
+
+    # hand-built store (no sidecar) = real footage: frames from the STORE
+    # tail, locking GT honestly absent, note printed
+    frames = np.zeros((32, 3, size, size), np.uint8)
+    frames[-4:] = 200
+    FrameStore.write(str(tmp_path / f"celeba_{size}.npy"), frames)
+    capsys.readouterr()
+    src, tgt, pos = eval_batch_for(cfg, 4, key)
+    assert pos is None
+    assert "locking/PCK skipped" in capsys.readouterr().out
+    # warp-mode pair built from the marked tail frames (border padding)
+    assert float(np.asarray(src).mean()) > 0.5
+
+    # --landmarks restores locking on real footage (warp mode carries the
+    # positions through the target warp)
+    marks = np.zeros((32, 2, 2), np.float32)
+    lp = str(tmp_path / "marks.npy")
+    np.save(lp, marks)
+    src, tgt, pos = eval_batch_for(cfg, 4, key, landmarks_path=lp)
+    assert pos is not None and pos.shape == (4, 2, 2)
+    assert np.all(np.abs(pos) <= 1.2)          # center maps near center
+
+    # row-count mismatch fails loudly
+    np.save(lp, marks[:5])
+    with pytest.raises(ValueError, match="landmarks rows"):
+        eval_batch_for(cfg, 4, key, landmarks_path=lp)
+
+    # temporal mode: pairs come from the stored index; landmarks indexed
+    # by the TARGET frame of each pair
+    pairs = episode_pairs([32])
+    FrameStore.write(str(tmp_path / f"atari_{size}.npy"), frames[:, :1],
+                     pairs)
+    cfg_t = get_config("transporter_atari").override(**{
+        "data.data_dir": str(tmp_path), "data.image_size": size,
+        "train.batch_size": 8})
+    capsys.readouterr()
+    src, tgt, pos = eval_batch_for(cfg_t, 4, jax.random.PRNGKey(1))
+    assert pos is None and "locking/PCK skipped" in capsys.readouterr().out
+    store = __import__("keypoints_tpu.data.records",
+                       fromlist=["FrameStore"]).FrameStore(
+        str(tmp_path / f"atari_{size}.npy"))
+    marks1 = np.tile(np.arange(32, dtype=np.float32)[:, None, None],
+                     (1, 3, 2)) / 32.0
+    np.save(lp, marks1)
+    src, tgt, pos = store_eval_batch(cfg_t, store, 4, key, np.load(lp))
+    ij = pairs[-4:]
+    np.testing.assert_allclose(pos, marks1[ij[:, 1]])
