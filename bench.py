@@ -77,9 +77,19 @@ def bench_train(batch_size: int = 128, warmup: int = 5, iters: int = 30,
     return n * chunk * batch_size / dt
 
 
-def bench_aug(batch_size: int = 128, warmup: int = 5, iters: int = 30):
+def bench_aug(batch_size: int = 128, warmup: int = 5, iters: int = 30,
+              chunk: int = 10):
     """The in-step augmentation (TPS∘affine warp pair + jitter) alone, ms per
-    step — the aug share of ``bench_train``'s number (same shapes/dtypes)."""
+    step — the aug share of ``bench_train``'s number (same shapes/dtypes).
+
+    Scans ``chunk`` aug pairs per dispatch, like ``bench_train`` — the
+    per-dispatch wall timing this replaced reported 7.0 ms for a program
+    whose XLA device-op total is 3.94 ms (benchmarks/profile_aug.py, r4):
+    ~3 ms/iter of axon-tunnel dispatch overhead was being booked as "aug".
+    The scan carry folds the step index into the key (as the real train step
+    does) and reduces each pair to a scalar so XLA can neither hoist the
+    loop-invariant body nor DCE the jitter tail.
+    """
     from keypoints_tpu.configs import get_config
     from keypoints_tpu.data.augment import make_pair
     from keypoints_tpu.training import warp_config
@@ -90,17 +100,25 @@ def bench_aug(batch_size: int = 128, warmup: int = 5, iters: int = 30):
     images = jnp.asarray(
         np.random.RandomState(0).rand(batch_size, 3, s, s),
         jnp.float32).astype(jnp.bfloat16)     # the step augments in bf16
-    pair = jax.jit(lambda k, b: make_pair(k, b, wcfg))
+
+    def run(rng, images):
+        def body(i, _):
+            src, tgt = make_pair(jax.random.fold_in(rng, i), images, wcfg)
+            return i + 1, src.mean() + tgt.mean()
+        _, sums = jax.lax.scan(body, jnp.int32(0), None, length=chunk)
+        return sums[-1]
+
+    pair = jax.jit(run)
     rng = jax.random.PRNGKey(2)
-    for _ in range(warmup):
-        src, tgt = pair(rng, images)
-    np.asarray(src[0, 0, 0, :2], np.float32)
+    for _ in range(max(warmup // chunk, 2)):
+        out = pair(rng, images)
+    np.asarray(out, np.float32)
+    n = max(iters // chunk, 2)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        src, tgt = pair(rng, images)
-    np.asarray(src[0, 0, 0, :2], np.float32)
-    np.asarray(tgt[0, 0, 0, :2], np.float32)
-    return (time.perf_counter() - t0) / iters * 1e3
+    for _ in range(n):
+        out = pair(rng, images)
+    np.asarray(out, np.float32)
+    return (time.perf_counter() - t0) / (n * chunk) * 1e3
 
 
 def bench_extract(batch_size: int = 256, warmup: int = 5, iters: int = 30):

@@ -5,13 +5,16 @@ tunnel) and prints the device-op table, then times each stage standalone
 (field eval, upsample, warp, jitter) for cross-checking.
 """
 
+import os
 import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))   # repo root (keypoints_tpu)
+sys.path.insert(0, _HERE)                    # sibling profile_step
 from profile_step import parse  # noqa: E402
 
 
@@ -55,14 +58,26 @@ def main(batch=128, steps=30, logdir="/tmp/kp_profile_aug"):
     w = warp(img, g)
     jit_ = jax.jit(lambda k, i: color_jitter(k, i, wcfg.brightness,
                                              wcfg.contrast, wcfg.saturation))
+    import time
+
+    def loop_ms(fn, *args, iters=50):
+        out = fn(*args)
+        np.asarray(jnp.ravel(out[0] if isinstance(out, tuple) else out)[:1])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        np.asarray(jnp.ravel(out[0] if isinstance(out, tuple) else out)[:1])
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    del timed  # unused; loop timing amortizes the ~28 ms tunnel fetch
     for name, fn, args in [
             ("field_eval", field, (key,)),
             ("upsample", up, (f,)),
             ("warp", warp, (img, g)),
             ("jitter", jit_, (key, w)),
             ("make_pair", pair, (key, img))]:
-        ms = timed(lambda: fn(*args)) * 1e3
-        print(f"{name:12s} {ms:7.3f} ms")
+        print(f"{name:12s} {loop_ms(fn, *args):7.3f} ms (wall, standalone "
+              f"dispatch)")
 
 
 if __name__ == "__main__":

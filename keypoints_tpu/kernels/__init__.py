@@ -93,7 +93,8 @@ def gaussian_maps(keypoints: jnp.ndarray, height: int, width: int,
 def warp_sample(image: jnp.ndarray, grid: jnp.ndarray,
                 padding_mode: str = "zeros",
                 align_corners: bool = DEFAULT_ALIGN_CORNERS,
-                y_window: int | None = None) -> jnp.ndarray:
+                y_window: int | None = None,
+                y_row_advance: float | None = None) -> jnp.ndarray:
     """Bilinear warp for the *data path* (augmentation — no gradient).
 
     Dispatches to the fused Pallas warp on TPU (with natural operand layouts
@@ -110,7 +111,8 @@ def warp_sample(image: jnp.ndarray, grid: jnp.ndarray,
     if (_on_tpu() and w <= MAX_LANES and wo <= MAX_LANES
             and ho % _ROWS_PER_PROGRAM == 0):
         return warp_bilinear_pallas(image, grid, padding_mode, align_corners,
-                                    y_window=y_window)
+                                    y_window=y_window,
+                                    y_row_advance=y_row_advance)
     return _grid_sample_jnp(image, grid, padding_mode, align_corners)
 
 
@@ -118,7 +120,8 @@ def warp_sample_field(image: jnp.ndarray, field: jnp.ndarray,
                       out_height: int, out_width: int,
                       padding_mode: str = "zeros",
                       align_corners: bool = DEFAULT_ALIGN_CORNERS,
-                      y_window: int | None = None) -> jnp.ndarray:
+                      y_window: int | None = None,
+                      y_row_advance: float | None = None) -> jnp.ndarray:
     """Warp from a coarse (B, F, F, 2) field (data path — no gradient).
 
     Measured routing (v5e, 2026-08-16):
@@ -138,11 +141,12 @@ def warp_sample_field(image: jnp.ndarray, field: jnp.ndarray,
     if (_on_tpu() and wo > MAX_LANES and w <= 4 * MAX_LANES
             and wo % span == 0 and ho % _ROWS_PER_PROGRAM == 0):
         return warp_field_pallas(image, field, ho, wo, padding_mode,
-                                 align_corners, y_window=y_window)
+                                 align_corners, y_window=y_window,
+                                 y_row_advance=y_row_advance)
     from keypoints_tpu.ops.warp import upsample_field_aligned
     grid = upsample_field_aligned(field, ho, wo)
     return warp_sample(image, grid, padding_mode, align_corners,
-                       y_window=y_window)
+                       y_window=y_window, y_row_advance=y_row_advance)
 
 
 __all__ = ["spatial_softmax", "gaussian_maps", "warp_sample",

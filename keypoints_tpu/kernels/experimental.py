@@ -35,6 +35,21 @@ from keypoints_tpu.kernels.warp_pallas import (MAX_LANES, _ROWS_PER_PROGRAM,
 _CHUNK = 16  # image rows per predicated chunk (one packed f32 sublane tile)
 
 
+def _y_corners(y0f, iy, h, padding_mode):
+    """Eq-mask y corners/weights from ``_grid_math``'s (y0f, iy) — the
+    pre-tent formulation these recorded kernels were measured with (the
+    shipped kernels now fold the y-select into a tent weight)."""
+    fy = iy - y0f
+    y0 = jnp.clip(y0f, 0.0, h - 1).astype(jnp.int32)
+    y1 = jnp.clip(y0f + 1.0, 0.0, h - 1).astype(jnp.int32)
+    if padding_mode == "zeros":
+        wy0 = jnp.where((y0f >= 0) & (y0f <= h - 1), 1.0 - fy, 0.0)
+        wy1 = jnp.where((y0f + 1 >= 0) & (y0f + 1 <= h - 1), fy, 0.0)
+    else:
+        wy0, wy1 = 1.0 - fy, fy
+    return y0, y1, wy0, wy1
+
+
 def _tree_select(v, idx, n):
     """Per-lane sublane gather as a binary select tree: v (C, n, L) with n a
     power of two, idx (1, L) in [0, n) → (C, 1, L) holding v[:, idx[l], l].
@@ -64,8 +79,9 @@ def _warp_kernel_tree(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
     _, c, hp, w = img_ref.shape
     h = 2 * hp
     _, rows, wo = gx_ref.shape
-    x0, x1, y0, y1, wx0, wx1, wy0, wy1, y0f = _grid_math(
+    x0, x1, wx0, wx1, y0f, iy = _grid_math(
         gx_ref[0], gy_ref[0], h, w, padding_mode, align_corners)
+    y0, y1, wy0, wy1 = _y_corners(y0f, iy, h, padding_mode)
     data_t = jnp.float32
     wx0 = wx0.astype(data_t)
     wx1 = wx1.astype(data_t)
@@ -205,8 +221,9 @@ def _warp_kernel_rowwin(img_ref, gx_ref, gy_ref, out_ref, acc_ref, *,
     _, c, hp, w = img_ref.shape
     h = 2 * hp
     _, rows, wo = gx_ref.shape
-    x0, x1, y0, y1, wx0, wx1, wy0, wy1, y0f = _grid_math(
+    x0, x1, wx0, wx1, y0f, iy = _grid_math(
         gx_ref[0], gy_ref[0], h, w, padding_mode, align_corners)
+    y0, y1, wy0, wy1 = _y_corners(y0f, iy, h, padding_mode)
     data_t = jnp.float32
     y0e = y0[:, None, :]
     y1e = y1[:, None, :]

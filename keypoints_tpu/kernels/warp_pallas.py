@@ -63,8 +63,14 @@ def _unpack_odd(word_f32):
 def _grid_math(gx, gy, h, w, padding_mode, align_corners):
     """Shared sampling-index math: grid planes → corner indices + weights.
 
-    Returns (x0, x1, y0, y1, wx0, wx1, wy0, wy1, y0f) with grid_sample's
-    exact corner/clip/zero-pad semantics (torch-pinned via the jnp oracle).
+    Returns (x0, x1, wx0, wx1, y0f, iy) with grid_sample's exact
+    corner/clip/zero-pad semantics (torch-pinned via the jnp oracle). The
+    vertical direction is carried as the raw float position ``iy`` (clipped
+    in border mode, unclipped in zeros mode): the kernels' y-select uses the
+    TENT weight ``max(0, 1 - |row - iy|)``, which reproduces BOTH padding
+    modes' (wy0 at y0, wy1 at y1) masks exactly — clipping makes the tent
+    put weight 1 on the border row, no clipping makes out-of-range weight
+    decay to 0 — in ~half the VPU ops of the two eq-mask terms.
     """
     ix = _unnormalize(gx, w, align_corners)
     iy = _unnormalize(gy, h, align_corners)
@@ -74,19 +80,14 @@ def _grid_math(gx, gy, h, w, padding_mode, align_corners):
     x0f = jnp.floor(ix)
     y0f = jnp.floor(iy)
     fx = ix - x0f
-    fy = iy - y0f
     x0 = jnp.clip(x0f, 0, w - 1).astype(jnp.int32)
     x1 = jnp.clip(x0f + 1.0, 0, w - 1).astype(jnp.int32)
-    y0 = jnp.clip(y0f, 0.0, h - 1).astype(jnp.int32)
-    y1 = jnp.clip(y0f + 1.0, 0.0, h - 1).astype(jnp.int32)
     if padding_mode == "zeros":
         wx0 = jnp.where((x0f >= 0) & (x0f <= w - 1), 1.0 - fx, 0.0)
         wx1 = jnp.where((x0f + 1 >= 0) & (x0f + 1 <= w - 1), fx, 0.0)
-        wy0 = jnp.where((y0f >= 0) & (y0f <= h - 1), 1.0 - fy, 0.0)
-        wy1 = jnp.where((y0f + 1 >= 0) & (y0f + 1 <= h - 1), fy, 0.0)
     else:
-        wx0, wx1, wy0, wy1 = 1.0 - fx, fx, 1.0 - fy, fy
-    return x0, x1, y0, y1, wx0, wx1, wy0, wy1, y0f
+        wx0, wx1 = 1.0 - fx, fx
+    return x0, x1, wx0, wx1, y0f, iy
 
 
 def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
@@ -107,7 +108,7 @@ def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
     h = 2 * hp if packed else hp
     _, rows, wo = gx_ref.shape
 
-    x0, x1, y0, y1, wx0, wx1, wy0, wy1, y0f = _grid_math(
+    x0, x1, wx0, wx1, y0f, iy = _grid_math(
         gx_ref[0], gy_ref[0], h, w, padding_mode, align_corners)
 
     # vertical window shared by the whole 8-row block
@@ -139,11 +140,11 @@ def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
 
     # (rows, 1, Wo) expansions done once: the per-row slice below must be a
     # plain lax.slice (mixed None/slice getitem lowers to a gather Mosaic
-    # rejects).
-    y0e = y0[:, None, :]
-    y1e = y1[:, None, :]
-    wy0e = wy0[:, None, :].astype(data_t)
-    wy1e = wy1[:, None, :].astype(data_t)
+    # rejects). The y-select is a TENT weight on the float position (see
+    # _grid_math) — one sub+abs+rsub+max per (win, Wo) element vs the two
+    # eq-mask+convert+mul terms it replaced (~15% of kernel VPU ops).
+    iye = iy[:, None, :].astype(data_t)
+    iota_f = iota_h.astype(data_t)
     wx0 = wx0.astype(data_t)
     wx1 = wx1.astype(data_t)
 
@@ -175,21 +176,18 @@ def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
             g1 = c1 if g1 is None else jnp.concatenate([g1, c1], axis=1)
         sl = lambda a: jax.lax.slice_in_dim(a, r, r + 1, axis=0)
         if packed:
-            # x-interp each packed half, then a paired mask-reduce: even
-            # pixels carry source row iota_h, odd pixels iota_h + 1
+            # x-interp each packed half, then a paired tent-reduce: even
+            # pixels sit at source row iota_f, odd pixels at iota_f + 1
             hx_e = (_unpack_even(g0) * sl(wx0)
                     + _unpack_even(g1) * sl(wx1)).reshape(c, win_p, wo)
             hx_o = (_unpack_odd(g0) * sl(wx0)
                     + _unpack_odd(g1) * sl(wx1)).reshape(c, win_p, wo)
-            wv_e = ((iota_h == sl(y0e)).astype(data_t) * sl(wy0e)
-                    + (iota_h == sl(y1e)).astype(data_t) * sl(wy1e))
-            wv_o = ((iota_h + 1 == sl(y0e)).astype(data_t) * sl(wy0e)
-                    + (iota_h + 1 == sl(y1e)).astype(data_t) * sl(wy1e))
+            wv_e = jnp.maximum(0.0, 1.0 - jnp.abs(iota_f - sl(iye)))
+            wv_o = jnp.maximum(0.0, 1.0 - jnp.abs(iota_f + 1.0 - sl(iye)))
             out = jnp.sum(hx_e * wv_e + hx_o * wv_o, axis=1)
         else:
             hx = (g0 * sl(wx0) + g1 * sl(wx1)).reshape(c, win_p, wo)
-            wv = ((iota_h == sl(y0e)).astype(data_t) * sl(wy0e)
-                  + (iota_h == sl(y1e)).astype(data_t) * sl(wy1e))
+            wv = jnp.maximum(0.0, 1.0 - jnp.abs(iota_f - sl(iye)))
             out = jnp.sum(hx * wv, axis=1)
         out_ref[0, :, r, :] = out.astype(out_ref.dtype)
 
@@ -275,7 +273,7 @@ def _warp_field_kernel(img_ref, fx_ref, fy_ref, out_ref, ufx_ref, ufy_ref, *,
     gx = jnp.concatenate(rows_gx, axis=0)                  # (rows, span)
     gy = jnp.concatenate(rows_gy, axis=0)
 
-    x0, x1, y0, y1, wx0, wx1, wy0, wy1, y0f = _grid_math(
+    x0, x1, wx0, wx1, y0f, iy = _grid_math(
         gx, gy, h, w, padding_mode, align_corners)
 
     # shared vertical window for the whole 8-row block: building the
@@ -296,10 +294,9 @@ def _warp_field_kernel(img_ref, fx_ref, fy_ref, out_ref, ufx_ref, ufy_ref, *,
             .reshape(c * win, w).astype(data_t))
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) + start
 
-    y0e = y0[:, None, :]
-    y1e = y1[:, None, :]
-    wy0e = wy0[:, None, :].astype(data_t)
-    wy1e = wy1[:, None, :].astype(data_t)
+    # tent-weight y-select (see _grid_math / _warp_kernel)
+    iye = iy[:, None, :].astype(data_t)
+    iota_f = iota_h.astype(data_t)
     wx0 = wx0.astype(data_t)
     wx1 = wx1.astype(data_t)
 
@@ -325,9 +322,27 @@ def _warp_field_kernel(img_ref, fx_ref, fy_ref, out_ref, ufx_ref, ufy_ref, *,
         i1 = jnp.broadcast_to(sl(x1), (c * win, span))
         hx = (gather_tiled(i0) * sl(wx0)
               + gather_tiled(i1) * sl(wx1)).reshape(c, win, span)
-        wv = ((iota_h == sl(y0e)).astype(data_t) * sl(wy0e)
-              + (iota_h == sl(y1e)).astype(data_t) * sl(wy1e))
+        wv = jnp.maximum(0.0, 1.0 - jnp.abs(iota_f - sl(iye)))
         out_ref[0, :, r, :] = jnp.sum(hx * wv, axis=1).astype(out_ref.dtype)
+
+
+def _block_pad(y_row_advance: float | None, a: int) -> int:
+    """Extra window rows for an 8-output-row block's SHARED window.
+
+    ``y_row_advance`` is a caller-proven bound on the source-y advance
+    between adjacent output rows (max over the grid of y(r+1,j) - y(r,j),
+    in source pixels); the block spans (ROWS-1)x that beyond one row's own
+    spread, plus the ≤ a-1 slack from aligning the window start down to the
+    sublane tile (the bilinear +1 rides y_window's own +4 margin).
+    augment.py passes (1+scale)·H/Ho — at celeba128 this tightens the
+    effective window 80 → 64 rows (20% less gather + tent-reduce work).
+    Without a proven advance: 2 source rows per output row (covers 2x
+    downscale warps), the pre-r4 conservative default.
+    """
+    import math
+    if y_row_advance is not None:
+        return math.ceil((_ROWS_PER_PROGRAM - 1) * float(y_row_advance)) + a
+    return 2 * _ROWS_PER_PROGRAM + a
 
 
 def warp_field_pallas(image: jnp.ndarray, field: jnp.ndarray,
@@ -335,6 +350,7 @@ def warp_field_pallas(image: jnp.ndarray, field: jnp.ndarray,
                       padding_mode: str = "zeros",
                       align_corners: bool = DEFAULT_ALIGN_CORNERS,
                       y_window: int | None = None,
+                      y_row_advance: float | None = None,
                       interpret: bool = False) -> jnp.ndarray:
     """Warp from a coarse sampling field: image (B,C,H,W), field (B,F,F,2)
     → (B,C,Ho,Wo). Equivalent to ``upsample_field_aligned(field, Ho, Wo)``
@@ -357,7 +373,7 @@ def warp_field_pallas(image: jnp.ndarray, field: jnp.ndarray,
     if y_window is not None:
         a = 16 if image.dtype == jnp.bfloat16 else 8
         # shared 8-row-block window (same slack as warp_bilinear_pallas)
-        pad = 2 * _ROWS_PER_PROGRAM + a
+        pad = _block_pad(y_row_advance, a)
         y_window = min(h, max(a, -(-(int(y_window) + pad) // a) * a))
     kern = functools.partial(_warp_field_kernel, padding_mode=padding_mode,
                              align_corners=align_corners, y_window=y_window,
@@ -390,6 +406,8 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
                          padding_mode: str = "zeros",
                          align_corners: bool = DEFAULT_ALIGN_CORNERS,
                          y_window: int | None = None,
+                         y_row_advance: float | None = None,
+                         grids_per_image: int = 1,
                          interpret: bool = False) -> jnp.ndarray:
     """Fused bilinear sampling: image (B,C,H,W), grid (B,Ho,Wo,2) → (B,C,Ho,Wo).
 
@@ -402,9 +420,19 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
     reduce runs over a y_window-row band instead of all H — ~H/y_window
     faster. Source rows outside the band contribute zero, so an
     under-estimated window silently degrades: only pass a proven bound.
+
+    ``grids_per_image``: warp each image through G grids in ONE kernel —
+    grid is (B·G, Ho, Wo, 2) with image b's grids at rows [b·G, (b+1)·G) and
+    the output is (B·G, C, Ho, Wo) in the same order. Consecutive programs
+    share the image block index, so Mosaic fetches each image from HBM once
+    per G warps instead of once per warp, and the whole aug pair rides a
+    single dispatch (the "shared-image two-warp kernel", VERDICT r3 #1).
     """
     b, c, h, w = image.shape
-    _, ho, wo, _ = grid.shape
+    bg, ho, wo, _ = grid.shape
+    if bg != b * grids_per_image:
+        raise ValueError(f"grid batch {bg} != image batch {b} x "
+                         f"grids_per_image {grids_per_image}")
     if w > 4 * MAX_LANES or wo > 4 * MAX_LANES:
         raise ValueError(f"warp_bilinear_pallas supports W,Wo<=512; got "
                          f"{w},{wo} (use ops.warp.grid_sample)")
@@ -421,11 +449,11 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
     packed = image.dtype == jnp.bfloat16 and h % 2 == 0
 
     if y_window is not None:
-        # The window is shared by an 8-output-row block, so add the block's
-        # own vertical span (rows map to ≈(1+scale) source rows each; 2x
-        # margin) plus the tile-alignment slack, then round up.
+        # The window is shared by an 8-output-row block: add the block's own
+        # vertical span (caller-proven via y_row_advance, else a 2-source-
+        # rows-per-output-row margin) plus tile-alignment slack — _block_pad.
         a = 16 if (packed or image.dtype == jnp.bfloat16) else 8
-        pad = 2 * _ROWS_PER_PROGRAM + a
+        pad = _block_pad(y_row_advance, a)
         y_window = min(h, max(a, -(-(int(y_window) + pad) // a) * a))
         if packed and y_window % 2:
             y_window += 1
@@ -447,12 +475,13 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
     row_spec = pl.BlockSpec((1, _ROWS_PER_PROGRAM, wo),
                             lambda bi, i: (bi, i, 0),
                             memory_space=pltpu.VMEM)
+    g = grids_per_image
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((b, c, ho, wo), image.dtype),
-        grid=(b, ho // _ROWS_PER_PROGRAM),
+        out_shape=jax.ShapeDtypeStruct((bg, c, ho, wo), image.dtype),
+        grid=(bg, ho // _ROWS_PER_PROGRAM),
         in_specs=[
-            pl.BlockSpec(img_block, lambda bi, i: (bi, 0, 0, 0),
+            pl.BlockSpec(img_block, lambda bi, i: (bi // g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             row_spec, row_spec,
         ],

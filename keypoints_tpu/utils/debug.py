@@ -55,15 +55,22 @@ def checkify_step(step_fn: Callable):
     """→ (checked_fn, consume) with NaN + OOB checks compiled into the step.
 
     ``checked_fn`` has the same signature; call ``consume(err)`` on the
-    returned error to raise. Debug-run-only: adds device overhead.
+    returned error to raise. Debug-run-only: adds device overhead. Also
+    traces the warp y-window contract assert into any augmentation inside
+    the step (``data.augment.window_checks`` — a violated window raises
+    here instead of silently zero-filling in the Pallas kernel).
     """
     from jax.experimental import checkify
 
+    from keypoints_tpu.data.augment import window_checks
+
     checked = checkify.checkify(
-        step_fn, errors=checkify.float_checks | checkify.index_checks)
+        step_fn, errors=checkify.float_checks | checkify.index_checks
+        | checkify.user_checks)
 
     def run(state, batch, rng):
-        err, out = checked(state, batch, rng)
+        with window_checks():     # flag matters at trace time; cheap after
+            err, out = checked(state, batch, rng)
         return err, out
 
     def consume(err) -> None:
