@@ -222,6 +222,24 @@ def main():
         "floor_ms_b128": FLOOR_MS_B128,
         "step_vs_floor": round(ms_per_step / FLOOR_MS_B128, 3),
     }
+    # roofline denominators (benchmarks/roofline.py, VERDICT r3 #2): the
+    # extract ratio is LIVE (this run's extract_ms over the committed
+    # XLA-cost-analysis floor — batches must match); pose256 is the recorded
+    # measured/floor ratio from the same artifact (measuring the 12 GiB
+    # pose step inside every bench run would risk the driver's wall clock).
+    roofline_path = os.path.join(os.path.dirname(BASELINE_PATH),
+                                 "roofline.json")
+    if os.path.exists(roofline_path):
+        with open(roofline_path) as f:
+            rl = json.load(f)["paths"]
+        ex = rl.get("celeba128_extract_b1024")
+        if ex and ex["batch"] == extract_batch and ex["floor_ms"] > 0:
+            extract_ms = extract_batch / extract_ips * 1e3
+            extra["extract_vs_floor"] = round(extract_ms / ex["floor_ms"], 3)
+        pose = rl.get("pose256_train_b128")
+        if pose and "vs_floor" in pose:
+            extra["pose_step_vs_floor_recorded"] = pose["vs_floor"]
+
     # last on-chip kernel-parity run (benchmarks/check_tpu_parity.py writes
     # this artifact) — surfaces a stale-parity regression in every bench line
     parity_path = os.path.join(os.path.dirname(BASELINE_PATH),

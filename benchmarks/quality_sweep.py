@@ -1,0 +1,114 @@
+"""Multi-seed keypoint-quality study: 3 seeds x every preset (VERDICT r3 #4).
+
+Pinned short schedules (pong64 3k, transporter_atari 3k, celeba128 4k,
+pose256 2k) trained with the REAL loop (``train()`` — fused chunked scan,
+checkpointing off) for seeds 0/1/2, then the honest warped eval
+(``synthetic_eval_batch`` + ``evaluate``) on a fixed 64-image set per preset.
+Writes benchmarks/quality.json with per-seed locking/PCK and mean ± spread —
+the measured band that the slow-marked regression thresholds in
+tests/test_quality_regression.py sit above, and that BASELINE.md records.
+
+Run ON THE TPU (hours of CPU otherwise):
+  python benchmarks/quality_sweep.py [preset ...]    # default: all four
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+SCHEDULES = {          # preset → pinned step count (VERDICT r3 #4)
+    "pong64": 3000,
+    "transporter_atari": 3000,
+    "celeba128": 4000,
+    "pose256": 2000,
+}
+SEEDS = (0, 1, 2)
+
+
+def run_one(preset: str, steps: int, seed: int, workdir: str) -> dict:
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.eval import evaluate, synthetic_eval_batch
+    from keypoints_tpu.train import train
+
+    cfg = get_config(preset).override(**{
+        "train.steps": steps, "train.seed": seed,
+        "train.checkpoint_dir": os.path.join(workdir, f"{preset}_s{seed}"),
+        # quality study, not an ops test: skip best/latest checkpoint IO
+        "train.save_best": False,
+        "train.checkpoint_every": steps + 1,
+        "train.eval_every": steps + 1,
+        "train.log_every": max(steps // 10, 1),
+    })
+    t0 = time.perf_counter()
+    state = train(cfg, logdir=None)
+    dt = time.perf_counter() - t0
+    # fixed eval set per preset (key independent of the train seed), the
+    # same warped-pair distribution training sees
+    src, tgt, pos = synthetic_eval_batch(cfg, 64, jax.random.PRNGKey(99))
+    m = evaluate(cfg, state.params, src, tgt, pos)
+    m.update(preset=preset, seed=seed, steps=steps,
+             train_s=round(dt, 1), fps=round(steps * cfg.train.batch_size / dt, 1))
+    return m
+
+
+def main(presets=None):
+    from keypoints_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+    presets = presets or list(SCHEDULES)
+    dst = os.path.join(_HERE, "quality.json")
+    results = {}
+    if os.path.exists(dst):                      # resume a partial sweep
+        with open(dst) as f:
+            results = json.load(f).get("runs", {})
+    workdir = tempfile.mkdtemp(prefix="kp_quality_")
+    try:
+        for preset in presets:
+            steps = SCHEDULES[preset]
+            for seed in SEEDS:
+                key = f"{preset}_s{seed}"
+                if key in results:
+                    print(f"{key}: cached", flush=True)
+                    continue
+                print(f"=== {preset} seed {seed} ({steps} steps)", flush=True)
+                m = run_one(preset, steps, seed, workdir)
+                results[key] = m
+                print(key, json.dumps(m), flush=True)
+                _write(dst, results)             # survive a mid-sweep crash
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    _write(dst, results)
+    print("wrote", dst)
+
+
+def _write(dst, results):
+    summary = {}
+    for preset in SCHEDULES:
+        vals = [r["locking_median"] for k, r in results.items()
+                if r["preset"] == preset]
+        if vals:
+            summary[preset] = {
+                "locking_median_mean": round(float(np.mean(vals)), 4),
+                "locking_median_min": round(float(np.min(vals)), 4),
+                "locking_median_max": round(float(np.max(vals)), 4),
+                "seeds": len(vals),
+                "steps": SCHEDULES[preset],
+            }
+    with open(dst, "w") as f:
+        json.dump({"runs": results, "summary": summary,
+                   "device": jax.devices()[0].platform}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or None)

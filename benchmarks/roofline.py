@@ -1,27 +1,40 @@
 """Executable roofline accounting: XLA cost analysis vs device peaks.
 
 Formalizes the DESIGN.md "Roofline accounting" method as a tool: compile a
-preset's full train step (loss included), ask XLA for per-step FLOPs and
-logical bytes, and print the aggregate MXU / HBM floors next to an
-optionally supplied measured ms/step. The aggregate floors are LOWER
-bounds, looser than DESIGN.md's per-component additive floor (logical
-bytes overcount real HBM traffic for fused/VMEM-resident touches, and the
-MXU floor assumes perfect overlap) — use this to sanity-check a new config
-or batch quickly; use the additive table for the binding [B:5] bar.
+program, ask XLA for per-step FLOPs and logical bytes, and derive aggregate
+MXU / HBM floors. The aggregate floors are LOWER bounds, looser than
+DESIGN.md's per-component additive floor (logical bytes overcount real HBM
+traffic for fused/VMEM-resident touches, and the MXU floor assumes perfect
+overlap) — use them as the denominator for paths that lack a hand-built
+additive floor, and the additive table for the binding [B:5] bar.
 
-    python benchmarks/roofline.py celeba128 --measured-ms 22.48
-    python benchmarks/roofline.py pose256 --batch 128
+Two modes:
+
+* ``python benchmarks/roofline.py <preset> [--batch N] [--measured-ms X]``
+  — the round-3 CLI: one preset's train step, human-readable report.
+* ``python benchmarks/roofline.py --record [--measure]`` — VERDICT r3 #2:
+  derive floors for ALL THREE headline paths (celeba128 b128 train,
+  pose256 b128 perceptual train, celeba128 b1024 extract) and write
+  benchmarks/roofline.json; bench.py folds the measured/floor ratios into
+  its extra. ``--measure`` also wall-times each path on the device.
 """
 
+from __future__ import annotations
+
 import argparse
+import json
+import os
 import sys
+import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 # (bf16 MXU FLOP/s, HBM bytes/s) by device-kind prefix — public peak specs.
 PEAKS = (
@@ -43,8 +56,28 @@ def device_peaks():
     return None
 
 
-def analyze(preset: str, batch: int | None = None) -> dict:
-    """Compile the preset's train step; → {flops, bytes, peaks, floors}."""
+def _floors(compiled) -> dict:
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):            # older jax returns [dict]
+        ca = ca[0] if ca else {}
+    flops = float(ca.get("flops", 0.0))
+    nbytes = float(ca.get("bytes accessed", 0.0))
+    ma = compiled.memory_analysis()
+    peak = getattr(ma, "peak_memory_in_bytes", 0)
+    out = {"flops": flops, "bytes": nbytes, "hbm_peak": int(peak)}
+    peaks = device_peaks()
+    if peaks:
+        mxu, hbm = peaks
+        out["mxu_floor_ms"] = round(flops / mxu * 1e3, 3)
+        out["hbm_floor_ms"] = round(nbytes / hbm * 1e3, 3)
+        out["floor_ms"] = round(max(out["mxu_floor_ms"],
+                                    out["hbm_floor_ms"]), 3)
+        out["bound"] = ("mxu" if out["mxu_floor_ms"] > out["hbm_floor_ms"]
+                        else "hbm")
+    return out
+
+
+def _train_path(preset: str, batch: int | None):
     from keypoints_tpu.configs import get_config
     from keypoints_tpu.train import make_loss
     from keypoints_tpu.training import build_model, init_state, make_train_step
@@ -58,35 +91,98 @@ def analyze(preset: str, batch: int | None = None) -> dict:
                                    loss=make_loss(cfg)),
                    donate_argnums=(0,))
     s, c = cfg.data.image_size, cfg.data.channels
-    img = jax.ShapeDtypeStruct((b, c, s, s), jnp.float32)
+    img = jnp.asarray(np.random.RandomState(0).rand(b, c, s, s), jnp.float32)
     batch_in = img if cfg.data.pair_mode == "warp" else (img, img)
-    compiled = step.lower(state, batch_in, jax.random.PRNGKey(1)).compile()
+    return step, (state, batch_in, jax.random.PRNGKey(1)), b
 
-    ca = compiled.cost_analysis()
-    if isinstance(ca, (list, tuple)):            # older jax returns [dict]
-        ca = ca[0] if ca else {}
-    flops = float(ca.get("flops", 0.0))
-    nbytes = float(ca.get("bytes accessed", 0.0))
-    ma = compiled.memory_analysis()
-    peak = getattr(ma, "peak_memory_in_bytes", 0)
 
-    out = {"preset": preset, "batch": b, "flops": flops, "bytes": nbytes,
-           "hbm_peak": int(peak)}
-    peaks = device_peaks()
-    if peaks:
-        mxu, hbm = peaks
-        out["mxu_floor_ms"] = flops / mxu * 1e3
-        out["hbm_floor_ms"] = nbytes / hbm * 1e3
+def _extract_path(preset: str, batch: int):
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.training import build_model, init_state, make_extract_fn
+
+    cfg = get_config(preset)
+    model = build_model(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    fn = jax.jit(make_extract_fn(cfg, model))
+    s, c = cfg.data.image_size, cfg.data.channels
+    img = jnp.asarray(np.random.RandomState(0).rand(batch, c, s, s),
+                      jnp.float32)
+    return fn, (state.params, img), batch
+
+
+def analyze(preset: str, batch: int | None = None) -> dict:
+    """Compile the preset's train step; → {flops, bytes, floors}."""
+    step, args, b = _train_path(preset, batch)
+    compiled = step.lower(*args).compile()
+    out = {"preset": preset, "batch": b}
+    out.update(_floors(compiled))
     return out
+
+
+def _wall_ms(fn, args, donate_state: bool, iters=20) -> float:
+    """Loop timing with a real D2H sync at each end (block_until_ready is
+    a no-op through the axon tunnel)."""
+    out = fn(*args)
+    if donate_state:
+        probe = lambda o: np.asarray(o[1]["loss"])
+        args = (out[0],) + args[1:]
+    else:
+        probe = lambda o: np.asarray(
+            jnp.ravel(jax.tree_util.tree_leaves(o)[0])[:1])
+    probe(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        if donate_state:
+            args = (out[0],) + args[1:]
+    probe(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def record(measure: bool = False):
+    """Write benchmarks/roofline.json covering the three headline paths."""
+    paths = {}
+    specs = {
+        "celeba128_train_b128": ("train", "celeba128", 128),
+        "pose256_train_b128": ("train", "pose256", 128),
+        "celeba128_extract_b1024": ("extract", "celeba128", 1024),
+    }
+    for name, (kind, preset, batch) in specs.items():
+        fn, args, b = (_train_path(preset, batch) if kind == "train"
+                       else _extract_path(preset, batch))
+        row = _floors(fn.lower(*args).compile())
+        row.update(kind=kind, preset=preset, batch=b)
+        if measure:
+            ms = _wall_ms(fn, args, donate_state=(kind == "train"))
+            row["measured_ms"] = round(ms, 2)
+            if row.get("floor_ms"):
+                row["vs_floor"] = round(ms / row["floor_ms"], 3)
+        paths[name] = row
+        print(name, json.dumps(row), flush=True)
+    dst = os.path.join(_HERE, "roofline.json")
+    with open(dst, "w") as f:
+        json.dump({"device": getattr(jax.devices()[0], "device_kind", "?"),
+                   "peaks": device_peaks(), "paths": paths}, f, indent=1)
+    print("wrote", dst)
 
 
 def main():
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("preset")
+    p.add_argument("preset", nargs="?", default=None)
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--measured-ms", type=float, default=None,
                    help="a measured step time to compare against the floors")
+    p.add_argument("--record", action="store_true",
+                   help="derive + write roofline.json for the headline paths")
+    p.add_argument("--measure", action="store_true",
+                   help="with --record: also wall-time each path")
     args = p.parse_args()
+
+    if args.record or args.preset is None:
+        from keypoints_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
+        record(measure=args.measure)
+        return
 
     r = analyze(args.preset, args.batch)
     print(f"{r['preset']} b{r['batch']} on {jax.devices()[0].device_kind}:")
@@ -96,7 +192,7 @@ def main():
     if r["hbm_peak"]:
         print(f"  HBM peak (buffer asgn)  {r['hbm_peak'] / 2**30:10.2f} GiB")
     if "mxu_floor_ms" in r:
-        floor = max(r["mxu_floor_ms"], r["hbm_floor_ms"])
+        floor = r["floor_ms"]
         print(f"  MXU-only floor          {r['mxu_floor_ms']:10.2f} ms")
         print(f"  HBM-only floor          {r['hbm_floor_ms']:10.2f} ms")
         print(f"  aggregate floor         {floor:10.2f} ms  "
