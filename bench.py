@@ -143,11 +143,21 @@ def bench_extract(batch_size: int = 256, warmup: int = 5, iters: int = 30):
     return iters * batch_size / dt
 
 
-# The documented additive step floor at celeba128/b128 on v5e: per-component
-# HBM/MXU floors summed (docs/DESIGN.md "Roofline accounting": convs 2.1+4,
-# GN 6.5, warps ~0 output-bound, optimizer 1.5 → ≈17–19 ms; midpoint used).
-# This is THE binding [B:5] roofline statement — see BASELINE.md.
-FLOOR_MS_B128 = 18.0
+# The additive step floor at celeba128/b128 on v5e, RE-DERIVED round 4 from
+# the per-component measurement campaign (benchmarks/floor_proof.py →
+# floor_proof.json; table in docs/DESIGN.md "Round-4 floor proof"): per conv
+# shape, the naive MXU floor unless a channel-padding experiment proved the
+# measured time cycle-quantized (then measured IS the shape floor); GroupNorm
+# at its 4-pass HBM byte floor; Adam at its byte floor; the Pallas warp pair
+# and non-warp aug at their measured design-space optima. Replaces the r3
+# 18.0, which baked unproven conv underfill into the floor (VERDICT r3 #1).
+FLOOR_MS_B128 = 16.8
+
+# Σ of the same components each timed standalone at its best-known
+# implementation (floor_proof.json: convs 12.72 + GN 7.33 + adam 0.05 +
+# warp 2.95 + aug-rest 0.65). step/THIS < 1 proves zero scheduler slack:
+# the fused step beats its own parts run in isolation.
+COMPONENT_OPTIMA_MS_B128 = 23.70
 
 
 def _probe_backend(timeout_s: float = 180.0, devices_fn=None):
@@ -221,6 +231,8 @@ def main():
         "model_ms_per_step": round(ms_per_step - aug_ms, 2),
         "floor_ms_b128": FLOOR_MS_B128,
         "step_vs_floor": round(ms_per_step / FLOOR_MS_B128, 3),
+        "step_vs_component_optima": round(
+            ms_per_step / COMPONENT_OPTIMA_MS_B128, 3),
     }
     # roofline denominators (benchmarks/roofline.py, VERDICT r3 #2): the
     # extract ratio is LIVE (this run's extract_ms over the committed

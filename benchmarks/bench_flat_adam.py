@@ -1,14 +1,16 @@
-"""Tree-Adam vs flat-Adam (optax.flatten), in-graph difference timing.
+"""Tree-Adam vs flat-Adam (optax.flatten) — RESOLVED NEGATIVE, kept as record.
 
-floor_proof.py found the optimizer update measures ~1.4-2.5 ms against an
-0.018 ms bytes floor for the celeba128 param tree (534k params, ~60 leaves):
-per-leaf Adam emits hundreds of tiny HLOs whose fixed launch cost dominates.
-``optax.flatten`` runs the inner transform on ONE raveled vector
-(trajectory-identical — tested in tests/test_train_integration.py), trading
-the per-leaf op soup for a ravel/unravel copy pair.
+An early dispatch-loop measurement showed the optimizer update at ~2.5 ms
+against an 0.018 ms bytes floor, suggesting per-leaf Adam's tiny-HLO launch
+overhead dominated and ``optax.flatten`` (one raveled vector,
+trajectory-identical) could recover ~2 ms of the step. The corrected
+IN-GRAPH difference timing (floor_proof.py, same integrity rules) measures
+tree-Adam at **0.046 ms**: inside a jitted graph XLA fuses the per-leaf ops
+fine; the 2.5 ms was axon-tunnel dispatch overhead booked per update.
+Nothing to win — the step keeps the plain tree optimizer.
 
 Measures: (a) the update alone, tree vs flat; (b) the full celeba128/b128
-train step with each optimizer (the number that decides adoption).
+train step with each optimizer (the numbers that settled it).
 
 Usage: python benchmarks/bench_flat_adam.py
 """

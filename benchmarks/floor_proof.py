@@ -260,7 +260,8 @@ def main():
     from keypoints_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
     out = {"device": jax.devices()[0].platform, "batch": 128,
-           "method": "fori-loop difference timing, consume-sums subtracted"}
+           "method": ("fori-loop difference timing; squared f32 consumes; "
+                      "carried operands/cotangents (see module docstring)")}
 
     convs = {}
     conv_ms = conv_floor = 0.0
