@@ -79,7 +79,7 @@ def _floors(compiled) -> dict:
     return out
 
 
-def _train_path(preset: str, batch: int | None):
+def _train_path(preset: str, batch: int | None, chunk: int = 1):
     from keypoints_tpu.configs import get_config
     from keypoints_tpu.train import make_loss
     from keypoints_tpu.training import build_model, init_state, make_train_step
@@ -89,9 +89,20 @@ def _train_path(preset: str, batch: int | None):
         cfg = cfg.override(**{"train.batch_size": batch})
     b = cfg.train.batch_size
     state = init_state(cfg, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(cfg, build_model(cfg),
-                                   loss=make_loss(cfg)),
-                   donate_argnums=(0,))
+    base = make_train_step(cfg, build_model(cfg), loss=make_loss(cfg))
+    if chunk > 1:
+        # the shipped loop's dispatch pattern (train() scans a chunk of
+        # steps per host round-trip) — also what the measured ms must use:
+        # any host-side per-step work between dispatches breaks async
+        # pipelining through the axon tunnel (+~21 ms/step, CLAUDE.md)
+        def run(state, images, rng):
+            def body(st, _):
+                return base(st, images, rng)
+            st, ms = jax.lax.scan(body, state, None, length=chunk)
+            return st, jax.tree_util.tree_map(lambda x: x[-1], ms)
+        step = jax.jit(run, donate_argnums=(0,))
+    else:
+        step = jax.jit(base, donate_argnums=(0,))
     s, c = cfg.data.image_size, cfg.data.channels
     img = jnp.asarray(np.random.RandomState(0).rand(b, c, s, s), jnp.float32)
     batch_in = img if cfg.data.pair_mode == "warp" else (img, img)
@@ -155,7 +166,13 @@ def record(measure: bool = False):
         row = _floors(fn.lower(*args).compile())
         row.update(kind=kind, preset=preset, batch=b)
         if measure:
-            ms = _wall_ms(fn, args, donate_state=(kind == "train"))
+            if kind == "train":      # re-build with the chunked dispatch
+                chunk = 10
+                cfn, cargs, _ = _train_path(preset, batch, chunk=chunk)
+                ms = _wall_ms(cfn, cargs, donate_state=True,
+                              iters=30 // chunk + 1) / chunk
+            else:
+                ms = _wall_ms(fn, args, donate_state=False)
             row["measured_ms"] = round(ms, 2)
             if row.get("floor_ms"):
                 row["vs_floor"] = round(ms / row["floor_ms"], 3)
