@@ -74,6 +74,21 @@ class TrainConfig:
     # (the reference's best/latest run-dir layout)
     save_best: bool = True
     data_parallel: bool = True        # shard batch over all visible devices
+    # OPT-IN keypoint spatial-separation loss (0.0 = off, exact parity with
+    # the published recipes). Squared hinge below diversity_margin on
+    # per-example pairwise keypoint distances — targets the measured
+    # partial-discovery failure mode (training.make_loss_fn docstring,
+    # BASELINE.md round-4 multi-seed study).
+    keypoint_diversity: float = 0.0
+    # margin measured on the pong64 failing init (BASELINE.md r4 A/B):
+    # 0.2 only mitigates (0.56→0.38); 0.5 fixes it (0.098) at unchanged
+    # eval loss; 0.8 also works but drags pck. 0.5 is the shipped default.
+    diversity_margin: float = 0.5
+    # anneal the diversity term linearly to zero at this step (0 = constant).
+    # A constant separation force displaces otherwise-locked keypoints
+    # (measured, BASELINE.md r4 A/B); full strength early destabilizes
+    # collapsed basins, zero late restores the pure published objective.
+    diversity_steps: int = 0
 
 
 def _coerce(val, current):

@@ -34,12 +34,20 @@ from keypoints_tpu.configs import Config
 
 
 def export_extract(cfg: Config, params, batch: int,
-                   platforms: Sequence[str] | None = None) -> bytes:
+                   platforms: Sequence[str] | None = None,
+                   input_dtype: str = "float32") -> bytes:
     """→ serialized StableHLO artifact of ``extract_keypoints`` at ``batch``.
 
     ``params`` are baked into the program as constants (self-contained
     artifact). ``platforms`` defaults to the current backend; pass e.g.
     ``("tpu", "cpu")`` to emit a multi-platform artifact.
+
+    ``input_dtype="uint8"`` exports a program taking raw ``uint8`` frames
+    (0–255 ↔ the [0, 1] float convention; the /255 rescale runs on-device).
+    Serving ingest — HTTP payload AND host→device upload — shrinks 4×,
+    which dominates end-to-end latency on transfer-bound links (the frame
+    stores are already uint8, so store-sourced serving is lossless;
+    float-sourced requests quantize to 1/255, see ``BucketedExtract``).
     """
     import contextlib
 
@@ -48,15 +56,23 @@ def export_extract(cfg: Config, params, batch: int,
     from keypoints_tpu import kernels
     from keypoints_tpu.training import build_model, make_extract_fn
 
+    if input_dtype not in ("float32", "uint8"):
+        raise ValueError(f"input_dtype must be float32|uint8, "
+                         f"got {input_dtype!r}")
     model = build_model(cfg)
     extract = make_extract_fn(cfg, model)
 
-    def fn(images):
-        return extract(params, images)
+    if input_dtype == "uint8":
+        def fn(images):
+            return extract(params, images.astype(jnp.float32) / 255.0)
+    else:
+        def fn(images):
+            return extract(params, images)
 
     d = cfg.data
-    spec = jax.ShapeDtypeStruct((batch, d.channels, d.image_size,
-                                 d.image_size), jnp.float32)
+    spec = jax.ShapeDtypeStruct(
+        (batch, d.channels, d.image_size, d.image_size),
+        jnp.uint8 if input_dtype == "uint8" else jnp.float32)
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
@@ -93,14 +109,17 @@ def load_extract(path_or_bytes) -> "BucketedExtract":
     exp = jexport.deserialize(bytearray(data))
     (b, c, h, _), = [a.shape for a in exp.in_avals]
     (_, k, _), = [a.shape for a in exp.out_avals]
+    (in_dtype,) = [a.dtype for a in exp.in_avals]
     meta = {"format": "keypoints-extract-bundle", "version": 1,
             "batches": [int(b)], "image_size": int(h), "channels": int(c),
-            "num_keypoints": int(k)}
+            "num_keypoints": int(k),
+            "input_dtype": str(np.dtype(in_dtype))}
     return BucketedExtract({int(b): lambda x: exp.call(x)}, meta)
 
 
 def export_extract_bundle(cfg: Config, params, batches: Sequence[int],
-                          platforms: Sequence[str] | None = None) -> bytes:
+                          platforms: Sequence[str] | None = None,
+                          input_dtype: str = "float32") -> bytes:
     """→ a multi-batch-bucket serving bundle (zip of StableHLO artifacts).
 
     StableHLO programs are shape-specialized (static shapes ARE the TPU
@@ -121,12 +140,13 @@ def export_extract_bundle(cfg: Config, params, batches: Sequence[int],
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
         for b in sizes:
             z.writestr(f"b{b}.shlo", export_extract(cfg, params, b,
-                                                    platforms))
+                                                    platforms, input_dtype))
         z.writestr("meta.json", json.dumps({
             "format": "keypoints-extract-bundle", "version": 1,
             "batches": sizes, "image_size": d.image_size,
             "channels": d.channels,
-            "num_keypoints": cfg.model.num_keypoints}))
+            "num_keypoints": cfg.model.num_keypoints,
+            "input_dtype": input_dtype}))
     return buf.getvalue()
 
 
@@ -144,7 +164,27 @@ class BucketedExtract:
         self.meta = meta
         self.max_batch = max(self._fns)
 
+    def coerce(self, images):
+        """Convert a request to the bundle's input dtype (see meta).
+
+        uint8-bundle + float request: quantize round(clip(x,0,1)·255) — the
+        documented 1/255-lossy path for float sources; uint8 sources pass
+        through unchanged (and a float32 bundle fed uint8 rescales /255,
+        lossless). Keeps artifact dtype a transport detail at this API.
+        """
+        want = np.dtype(self.meta.get("input_dtype", "float32"))
+        have = np.dtype(images.dtype)
+        if have == want:
+            return images
+        xp = np if isinstance(images, np.ndarray) else jnp
+        if want == np.uint8:
+            return xp.clip(xp.round(images.astype(xp.float32) * 255.0),
+                           0, 255).astype(xp.uint8)
+        return images.astype(xp.float32) / (255.0 if have == np.uint8
+                                            else 1.0)
+
     def __call__(self, images):
+        images = self.coerce(images)
         n = images.shape[0]
         bucket = next((b for b in self._fns if b >= n), None)
         if bucket is None:
@@ -213,6 +253,11 @@ def _cli(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--platforms", nargs="*", default=None,
                    help="e.g. --platforms tpu cpu (default: current backend)")
+    p.add_argument("--input-dtype", default="float32",
+                   choices=("float32", "uint8"),
+                   help="uint8: raw 0-255 frames in, /255 on device -- 4x "
+                        "smaller serving ingest (lossless for uint8 "
+                        "sources; float requests quantize to 1/255)")
     p.add_argument("--override", nargs="*", default=[])
     args = p.parse_args(argv)
 
@@ -230,12 +275,14 @@ def _cli(argv=None):
 
     if len(args.batch) > 1:
         data = export_extract_bundle(cfg, state.params, args.batch,
-                                     platforms=args.platforms)
+                                     platforms=args.platforms,
+                                     input_dtype=args.input_dtype)
         kind = f"bundle, buckets {sorted(set(args.batch))}"
     else:
         data = export_extract(cfg, state.params, args.batch[0],
-                              platforms=args.platforms)
-        kind = f"batch {args.batch[0]}"
+                              platforms=args.platforms,
+                              input_dtype=args.input_dtype)
+        kind = f"batch {args.batch[0]}, {args.input_dtype} in"
     with open(args.out, "wb") as f:
         f.write(data)
     print(f"wrote {len(data) / 1e6:.2f} MB artifact to {args.out} "

@@ -187,9 +187,27 @@ def http_extract(url: str, images: np.ndarray,
     import urllib.error
     import urllib.request
 
-    images = np.ascontiguousarray(images, np.float32)
+    # uint8 payloads pass through raw (a uint8 server ingests them
+    # verbatim and a float32 server rescales /255 — both lossless, and the
+    # wire/upload cost is 4x smaller); anything else normalizes to float32
+    # and, when the endpoint is KNOWN to take uint8 (cached /meta — fetched
+    # anyway for multi-row bucket limits; never fetched just for dtype, so
+    # single-row requests still skip /meta), is quantized client-side so
+    # the wire sees 1 byte/px either way. An unquantized float POST to a
+    # uint8 server is still correct: the server coerces at decode.
+    if images.dtype == np.uint8:
+        images = np.ascontiguousarray(images)
+    else:
+        images = np.ascontiguousarray(images, np.float32)
+
+    def _quantize_if_u8_endpoint(x: np.ndarray) -> np.ndarray:
+        if (x.dtype != np.uint8
+                and _META_CACHE.get(url, {}).get("input_dtype") == "uint8"):
+            return np.clip(np.round(x * 255.0), 0, 255).astype(np.uint8)
+        return x
 
     def _post(chunk: np.ndarray) -> np.ndarray:
+        chunk = _quantize_if_u8_endpoint(chunk)
         buf = io.BytesIO()
         np.save(buf, chunk)
         req = urllib.request.Request(url.rstrip("/") + "/extract",
@@ -306,6 +324,7 @@ def _cli(argv=None):
         extract = _dp_extract_from_args(args)
     assert isinstance(extract, BucketedExtract)   # single artifact = 1 bucket
     max_batch, meta = extract.max_batch, extract.meta
+    want_dtype = np.dtype(meta.get("input_dtype", "float32"))
     if not args.no_warmup:
         # compile every bucket up front: a cold bucket would stall its
         # first request (and everything queued behind it) for the full
@@ -314,7 +333,7 @@ def _cli(argv=None):
             t0 = time.monotonic()
             np.asarray(extract(np.zeros(
                 (b, meta["channels"], meta["image_size"],
-                 meta["image_size"]), np.float32)))
+                 meta["image_size"]), want_dtype)))
             print(f"warmed bucket b{b} in {time.monotonic() - t0:.1f}s",
                   flush=True)
     server = BatchingExtractor(
@@ -338,7 +357,13 @@ def _cli(argv=None):
                     raise ValueError("missing or invalid Content-Length")
                 raw = self.rfile.read(length)
                 images = np.load(io.BytesIO(raw), allow_pickle=False)
-                kp = server.extract(np.ascontiguousarray(images, np.float32))
+                # coerce to the bundle's input dtype at DECODE — requests
+                # of mixed dtypes must agree before the batcher
+                # concatenates them (uint8 bundles take uint8 payloads
+                # verbatim; float payloads quantize to 1/255 — see
+                # export.BucketedExtract.coerce)
+                images = extract.coerce(np.ascontiguousarray(images))
+                kp = server.extract(images)
                 out = io.BytesIO()
                 np.save(out, np.asarray(kp))
                 self.send_response(200)

@@ -83,13 +83,48 @@ def warp_config(cfg: Config) -> WarpConfig:
 
 def make_loss_fn(cfg: Config, model: nn.Module,
                  loss: Optional[Callable] = None) -> Callable:
-    """→ fn(params, src, tgt) -> (loss, aux dict). ``loss`` defaults to L2."""
-    recon_loss = loss or l2_loss
+    """→ fn(params, src, tgt) -> (loss, aux dict). ``loss`` defaults to L2.
 
-    def loss_fn(params, src, tgt):
+    ``train.keypoint_diversity`` > 0 adds an OPT-IN spatial-separation term
+    (an extension beyond the published recipes — default 0.0 keeps exact
+    golden-torch loss parity): a squared hinge on per-example pairwise
+    keypoint distances, mean(relu(margin - d_ij)^2) over the K(K-1)/2
+    pairs. Motivation is measured, not aesthetic: the round-4 3-seed study
+    found a minority of inits converge to partial-discovery optima (pong64
+    seed 0 parks all 4 keypoints near the ball and never finds the
+    paddles — locking 0.557 at 10k steps vs 0.10/0.06 for its siblings;
+    BASELINE.md "multi-seed quality study"). Pushing keypoints apart until
+    they exceed ``train.diversity_margin`` makes that optimum unstable
+    while leaving locked configurations (distances above the margin)
+    untouched.
+    """
+    recon_loss = loss or l2_loss
+    lam = cfg.train.keypoint_diversity
+    margin = cfg.train.diversity_margin
+
+    def loss_fn(params, src, tgt, lam_scale=1.0):
         recon, kp = model.apply({"params": params}, src, tgt)
         value = recon_loss(recon, tgt)
-        return value, {"loss": value, "keypoints": kp, "recon": recon}
+        aux = {"loss": value, "keypoints": kp, "recon": recon}
+        if lam > 0.0:
+            d = jnp.linalg.norm(
+                kp[:, :, None] - kp[:, None] + 1e-12, axis=-1)
+            k = kp.shape[1]
+            # upper triangle only: each unordered pair once, no self-pairs
+            mask = jnp.triu(jnp.ones((k, k), bool), 1)
+            hinge = jnp.square(jnp.maximum(margin - d, 0.0))
+            div = jnp.sum(jnp.where(mask, hinge, 0.0)) / (
+                d.shape[0] * mask.sum())
+            aux["diversity"] = div
+            # lam_scale anneals the term (train.diversity_steps): full
+            # strength early to destabilize collapsed basins, zero late so
+            # the steady state optimizes the pure published objective —
+            # a CONSTANT separation force displaces locked keypoints
+            # (measured: pong64 seed 1 pck 0.64 → 0.01 under constant
+            # λ=0.05/margin 0.5; see BASELINE.md round-4 A/B).
+            value = value + (lam * lam_scale) * div
+            aux["loss"] = value
+        return value, aux
     return loss_fn
 
 
@@ -117,8 +152,19 @@ def make_train_step(cfg: Config, model: nn.Module, tx=None,
             f"train.batch_size {cfg.train.batch_size} is not divisible by "
             f"train.grad_accum {accum}")
 
+    div_anneal = (cfg.train.keypoint_diversity > 0.0
+                  and cfg.train.diversity_steps > 0)
+
     def step(state: TrainState, batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
+        if div_anneal:
+            # linear decay to zero at diversity_steps (traced on step, so
+            # resume reproduces the schedule exactly)
+            scale = jnp.clip(1.0 - state.step.astype(jnp.float32)
+                             / cfg.train.diversity_steps, 0.0, 1.0)
+            lf = lambda p, s, t: loss_fn(p, s, t, scale)  # noqa: E731
+        else:
+            lf = loss_fn
         if warp_mode:
             if bf16_aug:
                 # the model casts inputs to bf16 anyway; augmenting in bf16
@@ -143,7 +189,7 @@ def make_train_step(cfg: Config, model: nn.Module, tx=None,
             split = lambda x: x.reshape(accum, m, *x.shape[1:])  # noqa: E731
 
             def micro(carry, st):
-                (v, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                (v, _), g = jax.value_and_grad(lf, has_aux=True)(
                     state.params, *st)
                 cv, cg = carry
                 return (cv + v, jax.tree_util.tree_map(jnp.add, cg, g)), None
@@ -155,7 +201,7 @@ def make_train_step(cfg: Config, model: nn.Module, tx=None,
             value = value / accum
             grads = jax.tree_util.tree_map(lambda x: x / accum, grads)
         else:
-            (value, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (value, aux), grads = jax.value_and_grad(lf, has_aux=True)(
                 state.params, src, tgt)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)

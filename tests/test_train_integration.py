@@ -184,3 +184,44 @@ def test_heldout_scoring_pair_unseen_by_training(tmp_path):
 
     # synthetic datasets need no holdout (independent keys are unseen)
     assert heldout_scoring_pair(get_config("pong64")) is None
+
+
+def test_keypoint_diversity_term_mechanics():
+    """Opt-in diversity loss (VERDICT-r4 extension, training.make_loss_fn):
+    off by default (value identical to the plain objective), active when
+    keypoints sit closer than the margin, annealed to exactly zero past
+    train.diversity_steps (so late training optimizes the published
+    objective bit-for-bit)."""
+    from keypoints_tpu.training import make_loss_fn
+
+    cfg = _cfg("autoencoder", keypoints=2)
+    model = build_model(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    src, tgt, _ = _one_dot(jax.random.PRNGKey(5))
+
+    v_off, aux_off = make_loss_fn(cfg, model)(state.params, src, tgt)
+    assert "diversity" not in aux_off
+
+    # margin larger than the image diagonal → every pair is inside the
+    # hinge → the term must be strictly positive and raise the loss
+    cfg_on = cfg.override(**{"train.keypoint_diversity": 1.0,
+                             "train.diversity_margin": 4.0})
+    lf = make_loss_fn(cfg_on, model)
+    v_on, aux_on = lf(state.params, src, tgt)
+    assert float(aux_on["diversity"]) > 0
+    assert float(v_on) > float(v_off)
+    # annealed to zero: lam_scale=0 recovers the plain objective exactly
+    v_zero, _ = lf(state.params, src, tgt, 0.0)
+    assert float(v_zero) == float(v_off)
+
+    # the traced schedule inside the step: past diversity_steps the loss
+    # equals the diversity-free step's loss bit-for-bit
+    cfg_sched = cfg_on.override(**{"train.diversity_steps": 3})
+    step_d = jax.jit(make_train_step(cfg_sched, model))
+    step_0 = jax.jit(make_train_step(cfg, model))
+    import dataclasses
+    st = init_state(cfg_sched, jax.random.PRNGKey(0))
+    st = st._replace(step=jnp.asarray(3, jnp.int32))   # scale clips to 0
+    _, m_d = step_d(st, (src, tgt), jax.random.PRNGKey(2))
+    _, m_0 = step_0(st, (src, tgt), jax.random.PRNGKey(2))
+    assert float(m_d["loss"]) == float(m_0["loss"])
