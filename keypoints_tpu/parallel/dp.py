@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
@@ -90,7 +91,8 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, tx=None,
 
 
 def make_dp_extract(cfg: Config, params, batches: Sequence[int],
-                    mesh: Optional[Mesh] = None):
+                    mesh: Optional[Mesh] = None,
+                    input_dtype: str = "float32"):
     """Data-parallel serving: → a ``BucketedExtract`` running on a mesh.
 
     The extract path (Ψ → soft-argmax; SURVEY §3.3) is embarrassingly
@@ -120,8 +122,19 @@ def make_dp_extract(cfg: Config, params, batches: Sequence[int],
             f"bucket sizes {bad} not divisible by the {n_dev}-device mesh "
             f"(each device needs a static local batch)")
 
+    if input_dtype not in ("float32", "uint8"):
+        raise ValueError(f"input_dtype must be float32|uint8, "
+                         f"got {input_dtype!r}")
     model = build_model(cfg)
-    extract = make_extract_fn(cfg, model)
+    base_extract = make_extract_fn(cfg, model)
+    if input_dtype == "uint8":
+        # raw 0-255 frames in, /255 on device: the live-serving twin of
+        # export's uint8 artifacts — 4x smaller H2D uploads per request
+        def extract(params, images):
+            return base_extract(params,
+                                images.astype(jnp.float32) / 255.0)
+    else:
+        extract = base_extract
     sharded = jax.jit(jax.shard_map(
         extract, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
@@ -141,6 +154,7 @@ def make_dp_extract(cfg: Config, params, batches: Sequence[int],
             "batches": sizes, "image_size": d.image_size,
             "channels": d.channels,
             "num_keypoints": cfg.model.num_keypoints,
+            "input_dtype": input_dtype,
             "data_parallel_devices": n_dev}
     return BucketedExtract({b: fn for b in sizes}, meta)
 

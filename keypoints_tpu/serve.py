@@ -272,7 +272,8 @@ def _dp_extract_from_args(args) -> "BucketedExtract":
     devices = jax.devices()[:args.devices] if args.devices else None
     mesh = data_parallel_mesh(devices)
     print(f"data-parallel mesh: {mesh.devices.size} device(s)", flush=True)
-    return make_dp_extract(cfg, state.params, args.batch, mesh)
+    return make_dp_extract(cfg, state.params, args.batch, mesh,
+                           input_dtype=args.input_dtype)
 
 
 def _cli(argv=None):
@@ -310,6 +311,11 @@ def _cli(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-delay-ms", type=float, default=5.0,
                    help="how long a request waits for co-travelers")
+    p.add_argument("--input-dtype", default="float32",
+                   choices=("float32", "uint8"),
+                   help="--preset mode: serve raw uint8 frames (/255 on "
+                        "device) -- 4x smaller request payloads and H2D "
+                        "uploads; artifacts carry their own dtype")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip compiling every bucket before accepting "
                         "traffic (first request per bucket then pays the "

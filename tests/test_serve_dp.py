@@ -151,3 +151,24 @@ def test_serve_cli_requires_exactly_one_source():
         serve._cli([])                     # neither --artifact nor --preset
     with pytest.raises(SystemExit):
         serve._cli(["--artifact=x.shlo", "--preset=pong64"])
+
+
+def test_dp_extract_uint8_ingest(dp_setup):
+    """Live DP serving with input_dtype=uint8 (the artifact path's twin):
+    raw uint8 frames match the float extractor fed frames/255, and meta
+    advertises the dtype for the HTTP client's quantization."""
+    from keypoints_tpu.training import init_state
+    cfg, _, direct = dp_setup
+    state = init_state(cfg, jax.random.PRNGKey(0))   # fixture's params seed
+    mesh = data_parallel_mesh()
+    ext_u8 = make_dp_extract(cfg, state.params, batches=(8,), mesh=mesh,
+                             input_dtype="uint8")
+    assert ext_u8.meta["input_dtype"] == "uint8"
+    imgs8 = np.random.RandomState(7).randint(0, 256, (8, 1, 16, 16),
+                                             np.uint8)
+    got = np.asarray(ext_u8(imgs8))
+    want = np.asarray(direct(jnp.asarray(imgs8, jnp.float32) / 255.0))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+    with pytest.raises(ValueError, match="input_dtype"):
+        make_dp_extract(cfg, state.params, batches=(8,), mesh=mesh,
+                        input_dtype="int16")
