@@ -147,17 +147,20 @@ def bench_extract(batch_size: int = 256, warmup: int = 5, iters: int = 30):
 # the per-component measurement campaign (benchmarks/floor_proof.py →
 # floor_proof.json; table in docs/DESIGN.md "Round-4 floor proof"): per conv
 # shape, the naive MXU floor unless a channel-padding experiment proved the
-# measured time cycle-quantized (then measured IS the shape floor); GroupNorm
-# at its 4-pass HBM byte floor; Adam at its byte floor; the Pallas warp pair
-# and non-warp aug at their measured design-space optima. Replaces the r3
-# 18.0, which baked unproven conv underfill into the floor (VERDICT r3 #1).
-FLOOR_MS_B128 = 16.8
+# measured time cycle-quantized by a two-sided TIE (then measured IS the
+# shape floor; shapes with no control or a non-tie control count the naive
+# floor — strictly conservative); GroupNorm at its 4-pass HBM byte floor;
+# Adam at its byte floor; the Pallas warp pair and non-warp aug at their
+# measured design-space optima. Replaces the r3 18.0 (baked unproven conv
+# underfill into the floor, VERDICT r3 #1) and the first r4 16.8 (counted
+# uncontrolled shapes' measured time as proven — r4 review finding #1).
+FLOOR_MS_B128 = 15.79
 
 # Σ of the same components each timed standalone at its best-known
-# implementation (floor_proof.json: convs 12.72 + GN 7.33 + adam 0.05 +
+# implementation (floor_proof.json: convs 12.62 + GN 7.40 + adam 0.03 +
 # warp 2.95 + aug-rest 0.65). step/THIS < 1 proves zero scheduler slack:
 # the fused step beats its own parts run in isolation.
-COMPONENT_OPTIMA_MS_B128 = 23.70
+COMPONENT_OPTIMA_MS_B128 = 23.65
 
 
 def _probe_backend(timeout_s: float = 180.0, devices_fn=None):
@@ -245,7 +248,7 @@ def main():
         with open(roofline_path) as f:
             rl = json.load(f)["paths"]
         ex = rl.get("celeba128_extract_b1024")
-        if ex and ex["batch"] == extract_batch and ex["floor_ms"] > 0:
+        if ex and ex["batch"] == extract_batch and ex.get("floor_ms", 0) > 0:
             extract_ms = extract_batch / extract_ips * 1e3
             extra["extract_vs_floor"] = round(extract_ms / ex["floor_ms"], 3)
         pose = rl.get("pose256_train_b128")

@@ -182,7 +182,13 @@ def bench_conv(name, count, h, cin, cout, stride, kind, batch=128,
     if cout < pad_to:
         padded = run(pad_to)
         row["padded128_ms"] = round(padded, 3)
-        row["quantization_proven"] = bool(padded <= ms * 1.15)
+        # proof = padded time EQUALS unpadded time (two-sided): the MXU
+        # burns the same cycles either way, so the measured time is that
+        # shape's floor. padded >> ms disproves nothing about ms but
+        # proves nothing either; padded << ms DISPROVES it (a strictly
+        # faster schedule exists: compute padded, slice) — both fall back
+        # to the naive at-peak floor in the derivation.
+        row["quantization_proven"] = bool(ms * 0.85 <= padded <= ms * 1.15)
     return name, row
 
 
@@ -222,11 +228,13 @@ def bench_groupnorm(batch=128):
         # read x, write y, read dy, write dx (+ a bwd x re-read if stats
         # aren't saved): >= 4 passes
         floor = 4 * nbytes / HBM_BYTES_PER_S * 1e3
-        rows[f"gn_{h}x{c}"] = {"count": count, "ms": round(ms, 3),
-                               "floor_ms": round(floor, 3)}
+        name = f"gn_{h}x{c}x{count}"     # count in the key: the step has
+        rows[name] = {"count": count,    # both a x2 and a x1 instance of
+                      "ms": round(ms, 3),            # the 128x32 shape
+                      "floor_ms": round(floor, 3)}
         total_ms += count * ms
         total_floor += count * floor
-        print(f"gn_{h}x{c}", rows[f"gn_{h}x{c}"], flush=True)
+        print(name, rows[name], flush=True)
     return rows, total_ms, total_floor
 
 
@@ -256,6 +264,53 @@ def bench_adam():
             "params": nparams}
 
 
+def conv_floor_ms(row):
+    """One conv shape's contribution to the PROVEN floor: its measured time
+    only when the padding control proved cycle quantization; otherwise the
+    naive at-peak floor. Shapes with no control (Cout already >= the lane
+    width) are UNPROVEN — counting their measured time would bake whatever
+    inefficiency they carry into the 'floor' (the exact inflation VERDICT
+    r3 #1 called out in the old pinned 18.0)."""
+    fl = (row["ms"] if row.get("quantization_proven")
+          else row["naive_floor_ms"])
+    return row["count"] * fl
+
+
+def derive(out):
+    """Recompute the derived totals from per-row measurements (pure; also
+    reachable as `--rederive` to fix the derivation over an existing
+    floor_proof.json without re-measuring)."""
+    out["conv_measured_ms"] = round(
+        sum(r["ms_total"] for r in out["convs"].values()), 2)
+    out["conv_proven_floor_ms"] = round(
+        sum(conv_floor_ms(r) for r in out["convs"].values()), 2)
+    floor = (out["conv_proven_floor_ms"] + out["gn_floor_ms"]
+             + out["adam"]["floor_ms"] + out["warp_pair_measured_ms"]
+             + out["aug_nonwarp_measured_ms"])
+    out["derived_floor_ms"] = round(floor, 2)
+    return out
+
+
+def _write(out):
+    derive(out)
+    print("derived additive floor:", out["derived_floor_ms"], "ms")
+    with open(os.path.join(_HERE, "floor_proof.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote floor_proof.json")
+
+
+def rederive():
+    with open(os.path.join(_HERE, "floor_proof.json")) as f:
+        out = json.load(f)
+    for row in out["convs"].values():        # re-apply the two-sided proof
+        if "padded128_ms" in row:            # criterion to old artifacts
+            row["quantization_proven"] = bool(
+                row["ms"] * 0.85 <= row["padded128_ms"] <= row["ms"] * 1.15)
+        else:
+            row.pop("quantization_proven", None)
+    _write(out)
+
+
 def main():
     from keypoints_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
@@ -264,20 +319,11 @@ def main():
                       "carried operands/cotangents (see module docstring)")}
 
     convs = {}
-    conv_ms = conv_floor = 0.0
     for spec in conv_inventory():
         name, row = bench_conv(*spec)
         convs[name] = row
-        conv_ms += row["ms_total"]
-        # proven-quantized shapes: measured == shape floor; unproven: the
-        # naive at-peak floor (the conservative choice)
-        fl = (row["ms"] if row.get("quantization_proven", True)
-              else row["naive_floor_ms"])
-        conv_floor += row["count"] * fl
         print(name, json.dumps(row), flush=True)
     out["convs"] = convs
-    out["conv_measured_ms"] = round(conv_ms, 2)
-    out["conv_proven_floor_ms"] = round(conv_floor, 2)
 
     gn_rows, gn_ms, gn_floor = bench_groupnorm()
     out["groupnorm"] = gn_rows
@@ -292,16 +338,11 @@ def main():
     out["warp_pair_measured_ms"] = 2.95
     out["aug_nonwarp_measured_ms"] = 0.65
 
-    floor = (out["conv_proven_floor_ms"] + out["gn_floor_ms"]
-             + out["adam"]["floor_ms"] + out["warp_pair_measured_ms"]
-             + out["aug_nonwarp_measured_ms"])
-    out["derived_floor_ms"] = round(floor, 2)
-    print("derived additive floor:", out["derived_floor_ms"], "ms")
-
-    with open(os.path.join(_HERE, "floor_proof.json"), "w") as f:
-        json.dump(out, f, indent=1)
-    print("wrote floor_proof.json")
+    _write(out)
 
 
 if __name__ == "__main__":
-    main()
+    if "--rederive" in sys.argv:
+        rederive()
+    else:
+        main()

@@ -82,7 +82,10 @@ def main(presets=None):
             steps = SCHEDULES[preset]
             for seed in SEEDS:
                 key = f"{preset}_s{seed}"
-                if key in results:
+                # cached rows are only valid at the CURRENT schedule — a
+                # schedule change (e.g. pong64 3k→10k this round) must
+                # re-run, not re-certify stale short-schedule numbers
+                if results.get(key, {}).get("steps") == steps:
                     print(f"{key}: cached", flush=True)
                     continue
                 print(f"=== {preset} seed {seed} ({steps} steps)", flush=True)

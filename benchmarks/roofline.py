@@ -197,11 +197,16 @@ def main():
                    help="with --record: also wall-time each path")
     args = p.parse_args()
 
-    if args.record or args.preset is None:
+    if args.record:
         from keypoints_tpu.utils.compile_cache import enable_compile_cache
         enable_compile_cache()
         record(measure=args.measure)
         return
+    if args.preset is None:
+        # a bare invocation must not silently overwrite the committed
+        # roofline.json (dropping its measured_ms/vs_floor fields)
+        p.error("give a preset to analyze, or --record [--measure] to "
+                "rewrite roofline.json")
 
     r = analyze(args.preset, args.batch)
     print(f"{r['preset']} b{r['batch']} on {jax.devices()[0].device_kind}:")

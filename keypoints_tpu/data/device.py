@@ -148,14 +148,16 @@ def sample_frames(frames: jnp.ndarray, key: jax.Array, batch: int,
                   limit: Optional[int] = None) -> jnp.ndarray:
     """``limit`` (static) restricts sampling to frames [0, limit) — the
     trainer reserves the store tail for held-out scoring (train.py)."""
-    idx = jax.random.randint(key, (batch,), 0, limit or frames.shape[0])
+    hi = frames.shape[0] if limit is None else limit   # 0 is NOT "no limit"
+    idx = jax.random.randint(key, (batch,), 0, hi)
     return jnp.take(frames, idx, axis=0).astype(jnp.float32) / 255.0
 
 
 def sample_pair_frames(frames: jnp.ndarray, pairs: jnp.ndarray,
                        key: jax.Array, batch: int,
                        limit: Optional[int] = None):
-    row = jax.random.randint(key, (batch,), 0, limit or pairs.shape[0])
+    hi = pairs.shape[0] if limit is None else limit
+    row = jax.random.randint(key, (batch,), 0, hi)
     ij = jnp.take(pairs, row, axis=0)                             # (B, 2)
     a = jnp.take(frames, ij[:, 0], axis=0)
     b = jnp.take(frames, ij[:, 1], axis=0)

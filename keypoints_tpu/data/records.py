@@ -119,6 +119,37 @@ def _to_device_float(batch_u8: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(batch_u8).astype(jnp.float32) / 255.0
 
 
+def store_path_for(data) -> str:
+    """Canonical on-disk store path for a data config — the ONE place the
+    `{data_dir}/{dataset}_{size}.npy` convention lives (train, eval, and
+    the video CLI all resolve the same file through here)."""
+    return os.path.join(data.data_dir,
+                        f"{data.dataset}_{data.image_size}.npy")
+
+
+def tail_pair_frames(store: FrameStore, pair_mode: str, take: int):
+    """→ (a, b, tgt_idx) f32 [0,1] device arrays of the store's last
+    ``take`` items — the held-out tail both best-checkpoint scoring
+    (train.heldout_scoring_pair) and store-backed eval (eval.
+    store_eval_batch) read, through this ONE helper so the two can never
+    silently diverge on what "the tail" means.
+
+    Temporal mode (a pair index exists): items are stored (t, t+Δ) pairs;
+    ``tgt_idx`` is each row's target FRAME index (for landmark lookup).
+    Otherwise items are frames, a == b, and the caller applies its own
+    warp pairing; ``tgt_idx`` is the frame indices."""
+    temporal = pair_mode == "temporal" and store.pairs is not None
+    n_items = len(store.pairs) if temporal else len(store.frames)
+    take = min(take, n_items)
+    if temporal:
+        ij = np.asarray(store.pairs[n_items - take:])
+        return (_to_device_float(store.frames[ij[:, 0]]),
+                _to_device_float(store.frames[ij[:, 1]]), ij[:, 1])
+    idx = np.arange(n_items - take, n_items)
+    f = _to_device_float(store.frames[idx])
+    return f, f, idx
+
+
 def _iter_from(ds, start_batch: int, workers: int = 1, depth: int = 8):
     """Iterate a random-access grain MapDataset from batch ``start_batch``.
 

@@ -133,9 +133,11 @@ def store_eval_batch(cfg: Config, store, batch: int, key: jax.Array,
                      landmarks: Optional[np.ndarray] = None):
     """→ (src, tgt, true_positions | None) drawn from a REAL frame store.
 
-    Uses the store TAIL — the slice ``train.scoring_holdout`` reserves from
-    training when the store is big enough — so eval data is held out
-    whenever training held it out. Pairs are built exactly like training:
+    Uses the store TAIL that ``train.scoring_holdout`` reserved from
+    training, CLAMPING the batch to the reserved size so every scored row
+    really is held out (a bigger batch would silently reach into trained
+    rows — VERDICT r4 review); stores too small to reserve a tail print an
+    in-sample warning instead. Pairs are built exactly like training:
     temporal mode takes stored (frame_t, frame_{t+Δ}) pairs; warp mode
     applies one fixed independently-warped pair. ``landmarks`` is an
     optional (num_frames, K, 2) array of normalized (x, y) ground truth
@@ -147,19 +149,29 @@ def store_eval_batch(cfg: Config, store, batch: int, key: jax.Array,
     d = cfg.data
     temporal = d.pair_mode == "temporal" and store.pairs is not None
     n_items = len(store.pairs) if temporal else len(store.frames)
-    take = min(batch, n_items)
+    from keypoints_tpu.data.records import tail_pair_frames
+    from keypoints_tpu.train import scoring_holdout
+    holdout = scoring_holdout(cfg, n_items)
+    if holdout:
+        if batch > holdout:
+            print(f"eval batch clamped {batch} -> {holdout}: only the "
+                  f"reserved store tail is held out of training "
+                  f"(train.scoring_holdout)", flush=True)
+        take = min(batch, holdout)
+    else:
+        print(f"store too small to reserve a held-out tail "
+              f"({n_items} items) — eval rows OVERLAP training data",
+              flush=True)
+        take = min(batch, n_items)
     if landmarks is not None and len(landmarks) != len(store.frames):
         raise ValueError(
             f"landmarks rows ({len(landmarks)}) must match store frames "
             f"({len(store.frames)})")
+    src, tgt, idx = tail_pair_frames(store, d.pair_mode, take)
     if temporal:
-        ij = np.asarray(store.pairs[n_items - take:])
-        src = jnp.asarray(store.frames[ij[:, 0]]).astype(jnp.float32) / 255.0
-        tgt = jnp.asarray(store.frames[ij[:, 1]]).astype(jnp.float32) / 255.0
-        pos = None if landmarks is None else np.asarray(landmarks[ij[:, 1]])
+        pos = None if landmarks is None else np.asarray(landmarks[idx])
         return src, tgt, pos
-    idx = np.arange(n_items - take, n_items)
-    frames = jnp.asarray(store.frames[idx]).astype(jnp.float32) / 255.0
+    frames = src
     from keypoints_tpu.training import warp_config
     wcfg = warp_config(cfg)
     if not (wcfg.field_res and wcfg.field_res < d.image_size):
@@ -199,7 +211,8 @@ def eval_batch_for(cfg: Config, batch: int, key: jax.Array,
             raise SystemExit(f"--landmarks does not apply to the "
                              f"{d.dataset} generator (GT is built in)")
         return synthetic_eval_batch(cfg, batch, key)
-    sp = f"{d.data_dir}/{d.dataset}_{d.image_size}.npy"
+    from keypoints_tpu.data.records import store_path_for
+    sp = store_path_for(d)
     if not os.path.exists(sp):
         if landmarks is not None:
             raise SystemExit(f"--landmarks given but no store at {sp}")

@@ -26,7 +26,9 @@ import numpy as np
 
 from keypoints_tpu import checkpoint as ckpt
 from keypoints_tpu.configs import Config, get_config
-from keypoints_tpu.data.records import FrameStore, pair_stream, prefetch, single_stream
+from keypoints_tpu.data.records import (FrameStore, pair_stream, prefetch,
+                                        single_stream, store_path_for,
+                                        tail_pair_frames)
 from keypoints_tpu.data.synthetic import moving_dots_pair, scripted_pong_pair
 from keypoints_tpu.losses import make_perceptual_loss
 from keypoints_tpu.parallel import (data_parallel_mesh, make_dp_fused_chunk,
@@ -64,7 +66,7 @@ def make_batch_iterator(cfg: Config, start_step: int = 0) -> Iterator:
         return SyntheticBatches(mk, b, cfg.train.seed, start_step)
     # stored datasets: device-resident sampling when the store fits in HBM
     # (zero host work and zero H2D per step), grain streams otherwise.
-    store_path = f"{d.data_dir}/{d.dataset}_{d.image_size}.npy"
+    store_path = store_path_for(d)
     if not os.path.exists(store_path):
         # Every stored-dataset preset trains out of the box: real footage
         # can't be downloaded offline, so missing stores are synthesized
@@ -225,50 +227,57 @@ class DeviceResidentBatches(InStepBatches):
         return sample_frames(args[0], key, n, limit=self.limit)
 
 
+def scoring_rows(cfg: Config) -> int:
+    """Rows in the fixed best-checkpoint scoring pair (small on purpose —
+    it runs at every eval cadence and its forward counts against the HBM
+    preflight)."""
+    return min(8, cfg.train.batch_size)
+
+
 def scoring_holdout(cfg: Config, n_items: int) -> int:
     """How many tail items (frames in warp mode, pairs in temporal mode) a
-    store reserves for best-checkpoint scoring: the scored pair must be
-    UNSEEN by training in every source mode (VERDICT r3 #6). Synthetic
+    store reserves as held-out data: the best-checkpoint scoring pair must
+    be UNSEEN by training in every source mode (VERDICT r3 #6), and
+    ``keypoints-eval`` on a store-backed dataset scores the same reserved
+    tail — so the reserve is sized for an eval batch (up to 64 rows, at
+    most a quarter of the store), not just the 8 scoring rows. Synthetic
     generators need no holdout (an independent key IS unseen data); tiny
-    stores (< 4× the scoring rows, e.g. test fixtures) skip the holdout
-    rather than starve training — scoring then falls back to the legacy
-    seen-batch draw, documented at the eval_pair construction site."""
-    rows = min(8, cfg.train.batch_size)
-    return rows if n_items >= 4 * rows else 0
+    stores (reserve < the scoring rows, e.g. test fixtures) skip the
+    holdout rather than starve training — scoring then falls back to the
+    legacy seen-batch draw, documented at the eval_pair construction
+    site, and eval prints an in-sample warning."""
+    reserve = min(64, n_items // 4)
+    return reserve if reserve >= scoring_rows(cfg) else 0
 
 
 def heldout_scoring_pair(cfg: Config):
     """→ fixed (src, tgt) scoring pair from the store's held-out tail, or
     None (synthetic datasets / missing store / store too small to reserve).
 
-    Reads the SAME tail ``make_batch_iterator`` excluded from training:
-    temporal mode scores the last ``rows`` stored pairs; warp mode applies
-    one fixed independently-keyed warp pair to the last ``rows`` frames
-    (the training objective's distribution, like the in-step aug).
+    Reads the LAST ``scoring_rows`` items of the tail ``make_batch_iterator``
+    excluded from training (via the shared ``records.tail_pair_frames`` —
+    any tail subset is unseen): temporal mode scores stored pairs; warp
+    mode applies one fixed independently-keyed warp pair (the training
+    objective's distribution, like the in-step aug).
     """
     d = cfg.data
     if d.dataset in ("synthetic_dots", "synthetic_pong"):
         return None
-    sp = f"{d.data_dir}/{d.dataset}_{d.image_size}.npy"
+    sp = store_path_for(d)
     if not os.path.exists(sp):
         return None
     store = FrameStore(sp)
     temporal = d.pair_mode == "temporal" and store.pairs is not None
     n_items = len(store.pairs) if temporal else len(store.frames)
-    holdout = scoring_holdout(cfg, n_items)
-    if not holdout:
+    if not scoring_holdout(cfg, n_items):
         return None
+    a, b, _ = tail_pair_frames(store, d.pair_mode, scoring_rows(cfg))
     if temporal:
-        ij = np.asarray(store.pairs[n_items - holdout:])
-        a = jnp.asarray(store.frames[ij[:, 0]]).astype(jnp.float32) / 255.0
-        b = jnp.asarray(store.frames[ij[:, 1]]).astype(jnp.float32) / 255.0
         return a, b
-    frames = jnp.asarray(
-        store.frames[n_items - holdout:]).astype(jnp.float32) / 255.0
     from keypoints_tpu.data.augment import make_pair
     from keypoints_tpu.training import warp_config
     return jax.jit(lambda k, f: make_pair(k, f, warp_config(cfg)))(
-        jax.random.PRNGKey(cfg.train.seed + 9), frames)
+        jax.random.PRNGKey(cfg.train.seed + 9), a)
 
 
 #: HBM kept free for runtime/framework overhead beyond XLA's own accounting

@@ -122,7 +122,8 @@ def _cli(argv=None):
         frames = load_image_folder(args.folder, d.image_size, d.channels,
                                    limit=args.frames)
     else:
-        store_path = args.store or f"{d.data_dir}/{d.dataset}_{d.image_size}.npy"
+        from keypoints_tpu.data.records import store_path_for
+        store_path = args.store or store_path_for(d)
         store = FrameStore(store_path)
         frames = np.asarray(
             store.frames[args.start:args.start + args.frames])

@@ -148,7 +148,10 @@ def test_heldout_scoring_pair_unseen_by_training(tmp_path):
     cfg = get_config("celeba128").override(**{
         "data.data_dir": str(tmp_path), "data.image_size": size,
         "train.batch_size": 16})
-    assert scoring_holdout(cfg, n) == 8
+    # reserve sized for eval batches too (min(64, n//4)), not just the
+    # 8 scoring rows — VERDICT r4 review: eval must never reach into
+    # trained rows
+    assert scoring_holdout(cfg, n) == 16
     src = make_batch_iterator(cfg)
     it = iter(src)
     for _ in range(10):

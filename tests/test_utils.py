@@ -317,6 +317,35 @@ def test_eval_batch_for_honest_store_routing(tmp_path, capsys):
     np.testing.assert_allclose(pos, marks1[ij[:, 1]])
 
 
+def test_store_eval_batch_clamps_to_heldout_tail(tmp_path, capsys):
+    """An eval batch larger than the reserved tail is CLAMPED, never
+    padded with trained rows (VERDICT r4 review: 56 of 64 default-batch
+    eval rows used to come from the training stream)."""
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.data.records import FrameStore
+    from keypoints_tpu.eval import store_eval_batch
+    from keypoints_tpu.train import scoring_holdout
+
+    size, n = 16, 512
+    frames = np.zeros((n, 3, size, size), np.uint8)
+    frames[-64:] = 200                       # the reserved tail, marked
+    sp = str(tmp_path / f"celeba_{size}.npy")
+    FrameStore.write(sp, frames)
+    cfg = get_config("celeba128").override(**{
+        "data.data_dir": str(tmp_path), "data.image_size": size})
+    assert scoring_holdout(cfg, n) == 64
+    store = FrameStore(sp)
+    capsys.readouterr()
+    src, tgt, pos = store_eval_batch(cfg, store, 128, jax.random.PRNGKey(0))
+    out = capsys.readouterr().out
+    assert "clamped 128 -> 64" in out
+    assert src.shape[0] == 64
+    # every eval row comes from the marked held-out tail (border padding
+    # in the warp keeps marked content dominant; trained rows are all 0)
+    per_row = np.asarray(src).reshape(64, -1).mean(axis=1)
+    assert per_row.min() > 0.5
+
+
 def test_checkify_step_catches_warp_window_violation(monkeypatch):
     """debug runs assert the warp y-window contract inside the aug path
     (VERDICT r3 weak #5): a healthy WarpConfig passes; a window bound made
