@@ -102,11 +102,20 @@ def bench_aug(batch_size: int = 128, warmup: int = 5, iters: int = 30,
         jnp.float32).astype(jnp.bfloat16)     # the step augments in bf16
 
     def run(rng, images):
-        def body(i, _):
+        # in-graph microbench integrity (floor_proof.py rules, ADVICE r4
+        # low #2): consume both outputs via SQUARED f32-accumulated reduces
+        # THREADED THROUGH THE CARRY — per-iteration plain means with only
+        # sums[-1] kept are algebraically simplifiable / DCE-able.
+        def body(carry, _):
+            i, acc = carry
             src, tgt = make_pair(jax.random.fold_in(rng, i), images, wcfg)
-            return i + 1, src.mean() + tgt.mean()
-        _, sums = jax.lax.scan(body, jnp.int32(0), None, length=chunk)
-        return sums[-1]
+            acc = acc + 1e-30 * (
+                jnp.sum(jnp.square(src), dtype=jnp.float32)
+                + jnp.sum(jnp.square(tgt), dtype=jnp.float32))
+            return (i + 1, acc), None
+        (_, acc), _ = jax.lax.scan(body, (jnp.int32(0), jnp.float32(0.0)),
+                                   None, length=chunk)
+        return acc
 
     pair = jax.jit(run)
     rng = jax.random.PRNGKey(2)

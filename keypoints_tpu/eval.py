@@ -219,9 +219,13 @@ def eval_batch_for(cfg: Config, batch: int, key: jax.Array,
         return synthetic_eval_batch(cfg, batch, key)  # trainer-synthesized
     from keypoints_tpu.data.records import FrameStore
     store = FrameStore(sp)
+    # Guard BOTH sides: for a dataset with no mapped synthetic origin,
+    # meta.get("origin") and _SYNTHETIC_ORIGIN_FOR.get(...) are both None
+    # and a bare == would route real sidecar-less footage to the synthetic
+    # generator with fabricated ground truth (ADVICE r4 medium #1).
     if (landmarks is None
-            and store.meta.get("origin") == _SYNTHETIC_ORIGIN_FOR.get(
-                d.dataset)):
+            and d.dataset in _SYNTHETIC_ORIGIN_FOR
+            and store.meta.get("origin") == _SYNTHETIC_ORIGIN_FOR[d.dataset]):
         return synthetic_eval_batch(cfg, batch, key)
     if landmarks is None:
         print(f"store-backed eval ({sp}): no ground-truth landmarks — "

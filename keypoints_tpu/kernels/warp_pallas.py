@@ -117,6 +117,16 @@ def _warp_kernel(img_ref, gx_ref, gy_ref, out_ref, *, padding_mode,
         align = 16 if (packed or img_ref.dtype == jnp.bfloat16) else 8
         start = jnp.clip(jnp.min(y0f).astype(jnp.int32), 0, h - win)
         start = pl.multiple_of((start // align) * align, align)
+        # Window guard (ADVICE r4 medium #2): an IN-IMAGE sample whose y
+        # falls outside the resident band reads the band-edge row instead
+        # of silently zero-filling — a window-contract violation now
+        # degrades to a locally clamped warp, never corrupted (black) rows.
+        # Out-of-image y keeps its unclamped value so zeros-mode tent decay
+        # and the (-1, 0) / (h-1, h) partial-weight edges stay exact.
+        interior = (iy >= 0.0) & (iy <= h - 1.0)
+        iy = jnp.where(interior,
+                       jnp.clip(iy, start.astype(iy.dtype),
+                                (start + win - 1).astype(iy.dtype)), iy)
     else:
         win = h
         start = 0
@@ -283,6 +293,12 @@ def _warp_field_kernel(img_ref, fx_ref, fy_ref, out_ref, ufx_ref, ufy_ref, *,
     if win < h:
         start = jnp.clip(jnp.min(y0f).astype(jnp.int32), 0, h - win)
         start = pl.multiple_of((start // align) * align, align)
+        # window guard — see _warp_kernel: in-image out-of-band samples
+        # clamp to the band edge instead of zero-filling
+        interior = (iy >= 0.0) & (iy <= h - 1.0)
+        iy = jnp.where(interior,
+                       jnp.clip(iy, start.astype(iy.dtype),
+                                (start + win - 1).astype(iy.dtype)), iy)
     else:
         start = 0
     # gather in f32 ALWAYS: Mosaic's dynamic_gather requires index/data
@@ -329,20 +345,46 @@ def _warp_field_kernel(img_ref, fx_ref, fy_ref, out_ref, ufx_ref, ufy_ref, *,
 def _block_pad(y_row_advance: float | None, a: int) -> int:
     """Extra window rows for an 8-output-row block's SHARED window.
 
-    ``y_row_advance`` is a caller-proven bound on the source-y advance
+    ``y_row_advance`` is a caller-supplied bound on the source-y advance
     between adjacent output rows (max over the grid of y(r+1,j) - y(r,j),
     in source pixels); the block spans (ROWS-1)x that beyond one row's own
     spread, plus the ≤ a-1 slack from aligning the window start down to the
     sublane tile (the bilinear +1 rides y_window's own +4 margin).
     augment.py passes (1+scale)·H/Ho — at celeba128 this tightens the
     effective window 80 → 64 rows (20% less gather + tent-reduce work).
-    Without a proven advance: 2 source rows per output row (covers 2x
+    Without an advance bound: 2 source rows per output row (covers 2x
     downscale warps), the pre-r4 conservative default.
+
+    HONESTY NOTE (ADVICE r4 medium #2): augment's advance covers the
+    affine term only; the TPS field adds an inter-row drift whose analytic
+    worst case (every clipped ±3σ control point sign-aligned with the
+    unit-response gradient, computed from the constant TPS system) would
+    need ~80 rows at celeba128 defaults. Empirically a 20k-draw Monte
+    Carlo maxes at 41.4 px of band spread vs the 47 px the 64-row window
+    admits, so real draws fit with margin — and a draw that ever exceeded
+    it now degrades to an edge-clamped warp (the in-kernel window guard),
+    never to silent zero rows. Debug runs additionally checkify the block
+    contract against ``effective_y_window`` (augment.window_checks).
     """
     import math
     if y_row_advance is not None:
         return math.ceil((_ROWS_PER_PROGRAM - 1) * float(y_row_advance)) + a
     return 2 * _ROWS_PER_PROGRAM + a
+
+
+def effective_y_window(y_window: int, h: int, *, bf16: bool,
+                       y_row_advance: float | None) -> int:
+    """The window the kernels ACTUALLY reserve for a caller ``y_window``:
+    per-row bound + shared-block pad (:func:`_block_pad`), rounded up to
+    the sublane tile. The ONE place this arithmetic lives — both kernel
+    entry points and augment's debug block-contract check call it, so the
+    asserted contract can never drift from the kernel's real band."""
+    a = 16 if bf16 else 8
+    eff = int(y_window) + _block_pad(y_row_advance, a)
+    eff = min(h, max(a, -(-eff // a) * a))
+    if bf16 and eff % 2:
+        eff += 1
+    return eff
 
 
 def warp_field_pallas(image: jnp.ndarray, field: jnp.ndarray,
@@ -371,10 +413,10 @@ def warp_field_pallas(image: jnp.ndarray, field: jnp.ndarray,
                          f"got {wo}")
 
     if y_window is not None:
-        a = 16 if image.dtype == jnp.bfloat16 else 8
         # shared 8-row-block window (same slack as warp_bilinear_pallas)
-        pad = _block_pad(y_row_advance, a)
-        y_window = min(h, max(a, -(-(int(y_window) + pad) // a) * a))
+        y_window = effective_y_window(
+            y_window, h, bf16=image.dtype == jnp.bfloat16,
+            y_row_advance=y_row_advance)
     kern = functools.partial(_warp_field_kernel, padding_mode=padding_mode,
                              align_corners=align_corners, y_window=y_window,
                              ho=ho, wo=wo)
@@ -418,8 +460,10 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
     When the caller can guarantee ``max_j y(i,j) - min_j y(i,j) + 2 <=
     y_window`` (augment.py derives this from its WarpConfig), the vertical
     reduce runs over a y_window-row band instead of all H — ~H/y_window
-    faster. Source rows outside the band contribute zero, so an
-    under-estimated window silently degrades: only pass a proven bound.
+    faster. An in-image sample falling outside the band clamps to the
+    band-edge row (the window guard in ``_warp_kernel``), so an
+    under-estimated window degrades to a locally flattened warp — never
+    to silent zero rows; exactness still requires an adequate bound.
 
     ``grids_per_image``: warp each image through G grids in ONE kernel —
     grid is (B·G, Ho, Wo, 2) with image b's grids at rows [b·G, (b+1)·G) and
@@ -450,13 +494,11 @@ def warp_bilinear_pallas(image: jnp.ndarray, grid: jnp.ndarray,
 
     if y_window is not None:
         # The window is shared by an 8-output-row block: add the block's own
-        # vertical span (caller-proven via y_row_advance, else a 2-source-
-        # rows-per-output-row margin) plus tile-alignment slack — _block_pad.
-        a = 16 if (packed or image.dtype == jnp.bfloat16) else 8
-        pad = _block_pad(y_row_advance, a)
-        y_window = min(h, max(a, -(-(int(y_window) + pad) // a) * a))
-        if packed and y_window % 2:
-            y_window += 1
+        # vertical span (caller-bounded via y_row_advance, else a 2-source-
+        # rows-per-output-row margin) plus tile-alignment slack.
+        y_window = effective_y_window(
+            y_window, h, bf16=packed or image.dtype == jnp.bfloat16,
+            y_row_advance=y_row_advance)
     if packed:
         img_in = jax.lax.bitcast_convert_type(
             image.reshape(b, c, h // 2, 2, w).transpose(0, 1, 2, 4, 3),

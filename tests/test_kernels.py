@@ -232,6 +232,43 @@ def test_warp_y_window_bound_formula():
     assert warp_y_window(cfg, 128) <= 64
 
 
+def test_warp_window_violation_edge_clamps_not_zero_fills():
+    """Window guard (ADVICE r4 medium #2): a grid whose y advances faster
+    than the declared y_row_advance overruns the 8-row block's shared band.
+    In-image samples outside the band must read the band-EDGE row — never
+    silently zero-fill. An all-ones image warped with border padding is the
+    discriminator: any zero in the output = a zero-filled (corrupted) row."""
+    h = w = 64
+    img = jnp.ones((1, 1, h, w), jnp.float32)
+    # per-row constant y (per-row spread 0, per-row contract holds) but a
+    # 4-source-rows-per-output-row advance — far beyond the declared 0.0
+    ys = jnp.linspace(-1.0, 1.0, h)            # normalized, spans all rows
+    gy = jnp.broadcast_to(ys[:, None], (h, w))
+    gx = jnp.broadcast_to(jnp.linspace(-1, 1, w)[None, :], (h, w))
+    grid = jnp.stack([gx, gy], -1)[None]
+    got = warp_bilinear_pallas(img, grid, "border", True, y_window=8,
+                               y_row_advance=0.0, interpret=True)
+    assert float(jnp.min(got)) > 0.99          # clamped, not zeroed
+
+    # same contract via the field kernel
+    from keypoints_tpu.kernels.warp_pallas import warp_field_pallas
+    f = 9
+    field = jnp.stack([jnp.broadcast_to(jnp.linspace(-1, 1, f)[None, :],
+                                        (f, f)),
+                       jnp.broadcast_to(jnp.linspace(-1, 1, f)[:, None],
+                                        (f, f))], -1)[None]
+    got_f = warp_field_pallas(img, field, h, w, "border", True,
+                              y_window=8, y_row_advance=0.0, interpret=True)
+    assert float(jnp.min(got_f)) > 0.99
+
+    # zeros-mode out-of-IMAGE samples must still be zero (the guard only
+    # applies to in-image positions): push the whole grid below the image
+    grid_out = grid.at[..., 1].add(2.5)
+    got_z = warp_bilinear_pallas(img, grid_out, "zeros", True, y_window=8,
+                                 y_row_advance=0.0, interpret=True)
+    assert float(jnp.max(jnp.abs(got_z))) == 0.0
+
+
 # --- fused bottleneck ---------------------------------------------------------
 
 from keypoints_tpu.kernels.fused_bottleneck import softargmax_raster_fused  # noqa: E402

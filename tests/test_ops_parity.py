@@ -188,15 +188,10 @@ def test_grid_sample_nearest_vs_torch(align, padding):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
-@pytest.mark.slow
-def test_grid_sample_fuzz_vs_torch():
-    """Randomized sweep over shapes × modes × paddings × align: 48 draws of
-    random sizes with ~25% out-of-bounds points. The fixed-case tests pin
-    the documented semantics; this guards the corners a fixed case can't
-    enumerate (odd/even sizes, 1-pixel inputs, tall/wide grids)."""
+def _grid_sample_fuzz(n_trials):
     import torch.nn.functional as F
     rs = np.random.RandomState(42)
-    for trial in range(48):
+    for trial in range(n_trials):
         b = rs.randint(1, 4)
         c = rs.randint(1, 5)
         h, w = rs.randint(1, 33), rs.randint(1, 33)
@@ -219,6 +214,23 @@ def test_grid_sample_fuzz_vs_torch():
             got, want, atol=1e-5,
             err_msg=f"trial {trial}: {b}x{c}x{h}x{w} -> {ho}x{wo} "
                     f"{mode}/{padding}/align={align}")
+
+
+def test_grid_sample_fuzz_vs_torch_fast():
+    """Reduced-draw (8) slice of the grid_sample fuzz sweep kept in the
+    DEFAULT suite: the strongest oracle coverage for the warp math must run
+    on every change to it, not only pre-snapshot (ADVICE r4 low #1 — the
+    full 48-draw sweep is slow-marked below)."""
+    _grid_sample_fuzz(8)
+
+
+@pytest.mark.slow
+def test_grid_sample_fuzz_vs_torch():
+    """Randomized sweep over shapes × modes × paddings × align: 48 draws of
+    random sizes with ~25% out-of-bounds points. The fixed-case tests pin
+    the documented semantics; this guards the corners a fixed case can't
+    enumerate (odd/even sizes, 1-pixel inputs, tall/wide grids)."""
+    _grid_sample_fuzz(48)
 
 
 @pytest.mark.slow

@@ -316,6 +316,20 @@ def test_eval_batch_for_honest_store_routing(tmp_path, capsys):
     ij = pairs[-4:]
     np.testing.assert_allclose(pos, marks1[ij[:, 1]])
 
+    # UNMAPPED dataset name + sidecar-less store: origin and the mapped
+    # origin are both None — a bare == would route real footage to the
+    # synthetic generator with fabricated GT (ADVICE r4 medium #1). Must
+    # come from the STORE with locking honestly skipped.
+    frames_u = np.zeros((32, 3, size, size), np.uint8)
+    frames_u[-4:] = 200
+    FrameStore.write(str(tmp_path / f"mycam_{size}.npy"), frames_u)
+    cfg_u = cfg.override(**{"data.dataset": "mycam"})
+    capsys.readouterr()
+    src, tgt, pos = eval_batch_for(cfg_u, 4, key)
+    assert pos is None
+    assert "locking/PCK skipped" in capsys.readouterr().out
+    assert float(np.asarray(src).mean()) > 0.5   # the marked store tail
+
 
 def test_store_eval_batch_clamps_to_heldout_tail(tmp_path, capsys):
     """An eval batch larger than the reserved tail is CLAMPED, never
