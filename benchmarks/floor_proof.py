@@ -82,36 +82,45 @@ def scan_diff_ms(body, carry0, n1=100, reps=3):
 
 def conv_inventory():
     """Every conv in the celeba128 step: (name, count, Hin, Cin, Cout,
-    stride, kind). count=2 for the encoder trunk (Φ on src + Ψ trunk on
-    tgt). kind 'conv' = 3x3 explicit-pad; 'up' = lhs-dilated 4x4
-    (UpsampleConv); 'head1x1' = the KeyNet 1x1."""
+    stride, kind, need_dx). count=2 for the encoder trunk (Φ on src + Ψ
+    trunk on tgt). kind 'conv' = 3x3 explicit-pad; 'up' = lhs-dilated 4x4
+    (UpsampleConv); 'head1x1' = the KeyNet 1x1. need_dx=False for the
+    FIRST layer only: its input is the (stop-gradient) augmented image, so
+    the step never computes dL/dx there — the r4 campaign timed fwd+dX+dW
+    for enc0 and over-booked an op the step doesn't run (r5 fix)."""
     inv = []
     h = 128
     cin = 3
     for i, (f, s) in enumerate(zip((32, 32, 64, 64, 128), (1, 2, 1, 2, 1))):
-        inv.append((f"enc{i}_{cin}>{f}s{s}@{h}", 2, h, cin, f, s, "conv"))
+        inv.append((f"enc{i}_{cin}>{f}s{s}@{h}", 2, h, cin, f, s, "conv",
+                    i > 0))
         h //= s
         cin = f
-    inv.append(("keynet_head_128>10@32", 1, 32, 128, 10, 1, "head1x1"))
+    inv.append(("keynet_head_128>10@32", 1, 32, 128, 10, 1, "head1x1", True))
     # decoder input: 128 features + 10 gaussian maps
     cin, h = 138, 32
     for i, (f, up) in enumerate(zip((128, 64, 32), (True, True, False))):
         kind = "up" if up else "conv"
         inv.append((f"dec{i}_{cin}>{f}{'up' if up else ''}@{h}", 1, h, cin,
-                    f, 1, kind))
+                    f, 1, kind, True))
         if up:
             h *= 2
         cin = f
-    inv.append((f"dec_head_{cin}>3@{h}", 1, h, cin, 3, 1, "conv"))
+    inv.append((f"dec_head_{cin}>3@{h}", 1, h, cin, 3, 1, "conv", True))
     return inv
 
 
 def _conv_fn(kind, stride):
     if kind == "up":
-        def f(x, k):
-            return jax.lax.conv_general_dilated(
-                x, k, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
-                dimension_numbers=_DN)
+        # The STEP's schedule: models.nets._upconv2x (custom VJP — both
+        # grads through ordinary stride-2 convs, no activation reverses).
+        # The r4 campaign timed jax.vjp of the plain lhs-dilated conv
+        # instead, i.e. XLA's autodiff — a schedule the step never runs
+        # (bench_upconv_vjp measured it ~2.3 ms slower across both
+        # up-blocks). That plain form is now an ALTERNATIVE row in
+        # bench_conv_alts.py.
+        from keypoints_tpu.models.nets import _upconv2x
+        f = _upconv2x
     elif kind == "head1x1":
         def f(x, k):
             return jax.lax.conv_general_dilated(
@@ -124,8 +133,8 @@ def _conv_fn(kind, stride):
     return f
 
 
-def bench_conv(name, count, h, cin, cout, stride, kind, batch=128,
-               pad_to=128):
+def bench_conv(name, count, h, cin, cout, stride, kind, need_dx=True,
+               batch=128, pad_to=128):
     """Difference-time fwd+bwd of one conv shape (bf16 NHWC like the step),
     then the same with Cout padded to the MXU lane width."""
     ks = 1 if kind == "head1x1" else (4 if kind == "up" else 3)
@@ -156,28 +165,51 @@ def bench_conv(name, count, h, cin, cout, stride, kind, batch=128,
             s, x, k, dy0 = c
             e = (s * 1e-38).astype(k.dtype)
             kk = k + e          # loop-carried dep, kernel-sized add
-            y, vjp = jax.vjp(f, x, kk)
-            dx, dk = vjp(dy0 * (1 + e))
-            q = (jnp.sum(jnp.square(y), dtype=jnp.float32)
-                 + jnp.sum(jnp.square(dx), dtype=jnp.float32)
-                 + jnp.sum(jnp.square(dk), dtype=jnp.float32))
+            if need_dx:
+                y, vjp = jax.vjp(f, x, kk)
+                dx, dk = vjp(dy0 * (1 + e))
+                q = (jnp.sum(jnp.square(y), dtype=jnp.float32)
+                     + jnp.sum(jnp.square(dx), dtype=jnp.float32)
+                     + jnp.sum(jnp.square(dk), dtype=jnp.float32))
+            else:
+                # First layer: x is the stop-gradient augmented image —
+                # the step computes fwd + dW only (r5 fix: the r4 row
+                # timed a dX the step never runs).
+                y, vjp = jax.vjp(lambda kv: f(x, kv), kk)
+                (dk,) = vjp(dy0 * (1 + e))
+                q = (jnp.sum(jnp.square(y), dtype=jnp.float32)
+                     + jnp.sum(jnp.square(dk), dtype=jnp.float32))
             return q * 1e-30, x, k, dy0   # keep s finite across 200 iters
 
         return scan_diff_ms(body, (jnp.float32(0.0), x, k, dy0))
 
     ms = run(cout)
-    # fwd + dX + dW ≈ 3x fwd MACs (exact for stride-1; dX of stride-2 works
-    # on the smaller grid — still an upper bound on the naive floor). The
-    # lhs-dilated upconv skips the inserted zeros: 3/4 of its 4x4 taps are
-    # dead, so its true MAC count is a quarter of the dense-tap product
-    # (measured: dec0 runs at ~113% of THIS corrected floor, i.e. at peak).
-    flops = 3 * 2 * batch * hout * hout * ks * ks * cin * cout
+    # fwd + dW (+ dX when the step needs it) ≈ 2x/3x fwd MACs (exact for
+    # stride-1; dX of stride-2 works on the smaller grid — still an upper
+    # bound on the naive floor). The lhs-dilated upconv skips the inserted
+    # zeros: 3/4 of its 4x4 taps are dead, so its true MAC count is a
+    # quarter of the dense-tap product (measured: dec0 runs at ~113% of
+    # THIS corrected floor, i.e. at peak).
+    npass = 3 if need_dx else 2
+    flops = npass * 2 * batch * hout * hout * ks * ks * cin * cout
     if kind == "up":
         flops //= 4
     naive = flops / MXU_BF16_FLOPS * 1e3
+    # Reads-only HBM byte floor: every schedule must fetch its inputs from
+    # HBM at least once (x for fwd/dW, dy for the backward) — writes are
+    # EXCLUDED because in-step they can fuse into consumers (and do in the
+    # harness: the keynet-head row measures 0.065 ms, under a
+    # read+write floor of 0.088 — the reduce-consumed y/dx never hit HBM).
+    # Like the GN rows, this assumes the additive model's materialization
+    # boundary for INPUTS only: x arrives from the previous component via
+    # HBM. Conservative direction: a reads-only floor can only be LOWER
+    # than the true cost.
+    read_bytes = 2 * batch * (h * h * cin + hout * hout * cout)
+    read_floor = read_bytes / HBM_BYTES_PER_S * 1e3
     row = {"count": count, "ms": round(ms, 3),
            "ms_total": round(count * ms, 3),
            "naive_floor_ms": round(naive, 3),
+           "read_floor_ms": round(read_floor, 3),
            "mxu_pct": round(100 * naive / ms, 1) if ms > 0 else None}
     if cout < pad_to:
         padded = run(pad_to)
@@ -264,15 +296,37 @@ def bench_adam():
             "params": nparams}
 
 
+def conv_rule(row):
+    """Classify one conv row by what its measurements PROVE (r5 rules):
+
+    * ``padding_tie``   — the Cout-padding control tied (two-sided ±15%):
+      the MXU burns the same cycles padded or not → measured IS the floor.
+    * ``schedule_optimum`` — >= 2 genuinely different formulations
+      (bench_conv_alts.py: im2col / NCHW / f32-accum / space-to-depth /
+      subpixel / Pallas direct / XLA-autodiff-up) were measured and NONE
+      beat the step's schedule by > 5% → measured counts as the floor of
+      best-KNOWN schedules (the VERDICT r4 "a loss is a proof too" rule).
+    * ``beaten``        — an alternative measured FASTER: the floor is
+      that alternative (and the row is an integration work item).
+    * ``unproven``      — nothing proved the measured time unavoidable:
+      count max(naive at-peak MXU, reads-only byte floor), clamped to the
+      measured time (a floor must not exceed an achieved schedule).
+    """
+    alts = row.get("alternatives") or {}
+    best_alt = min(alts.values()) if alts else None
+    if row.get("quantization_proven"):
+        return "padding_tie", row["ms"]
+    if best_alt is not None and best_alt < row["ms"] * 0.95:
+        return "beaten", best_alt
+    if len(alts) >= 2:
+        return "schedule_optimum", row["ms"]
+    lower = max(row["naive_floor_ms"], row.get("read_floor_ms", 0.0))
+    return "unproven", min(lower, row["ms"])
+
+
 def conv_floor_ms(row):
-    """One conv shape's contribution to the PROVEN floor: its measured time
-    only when the padding control proved cycle quantization; otherwise the
-    naive at-peak floor. Shapes with no control (Cout already >= the lane
-    width) are UNPROVEN — counting their measured time would bake whatever
-    inefficiency they carry into the 'floor' (the exact inflation VERDICT
-    r3 #1 called out in the old pinned 18.0)."""
-    fl = (row["ms"] if row.get("quantization_proven")
-          else row["naive_floor_ms"])
+    rule, fl = conv_rule(row)
+    row["floor_rule"] = rule
     return row["count"] * fl
 
 
@@ -284,6 +338,9 @@ def derive(out):
         sum(r["ms_total"] for r in out["convs"].values()), 2)
     out["conv_proven_floor_ms"] = round(
         sum(conv_floor_ms(r) for r in out["convs"].values()), 2)
+    out["conv_unproven_rows"] = sorted(
+        n for n, r in out["convs"].items()
+        if r.get("floor_rule") == "unproven")
     floor = (out["conv_proven_floor_ms"] + out["gn_floor_ms"]
              + out["adam"]["floor_ms"] + out["warp_pair_measured_ms"]
              + out["aug_nonwarp_measured_ms"])

@@ -89,6 +89,20 @@ class TrainConfig:
     # (measured, BASELINE.md r4 A/B); full strength early destabilizes
     # collapsed basins, zero late restores the pure published objective.
     diversity_steps: int = 0
+    # Discovery-failure detection (VERDICT r4 #4). The r4 3-seed study
+    # (benchmarks/quality.json) found a ~1-in-3 pong64 init that never
+    # discovers all objects: its keypoint_spread is 0.46 vs 0.88-0.95 on
+    # healthy siblings, a gap that opens long before locking converges.
+    # At eval cadence past spread_check_step, spread < min_spread logs a
+    # discovery-failure warning (stdout + metrics.jsonl); with
+    # abort_on_plateau the run exits with the reroll code so the
+    # `--reroll-on-plateau` supervisor retries with the next seed.
+    # 0.0 = detection off. The threshold MUST be preset-pinned: pose256's
+    # healthy runs lock fine at spread 0.37 (quality.json pose256_s1) —
+    # a global threshold would false-positive there.
+    min_spread: float = 0.0
+    spread_check_step: int = 2000
+    abort_on_plateau: bool = False
 
 
 def _coerce(val, current):
@@ -172,7 +186,13 @@ pong64 = _register(Config(
     model=ModelConfig(num_keypoints=4, out_channels=1, sigma=0.1),
     data=DataConfig(dataset="synthetic_pong", image_size=64, channels=1,
                     pair_mode="temporal"),
-    train=TrainConfig(model_kind="autoencoder", batch_size=64, lr=1e-3),
+    # min_spread 0.65: midpoint of the measured failure/healthy separation
+    # (0.46 vs 0.88/0.95, benchmarks/quality.json; early-step separation
+    # verified on-chip at spread_check_step — BASELINE.md r5 reroll study;
+    # only pong64 has a DEMONSTRATED failure mode, so only it ships a
+    # pinned threshold).
+    train=TrainConfig(model_kind="autoencoder", batch_size=64, lr=1e-3,
+                      min_spread=0.65),
 ))
 
 # [B:8] CelebA 128×128 faces, 10 keypoints, Gaussian-heatmap reconstruction.

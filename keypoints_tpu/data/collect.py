@@ -130,7 +130,9 @@ def _cli(argv=None):
 
     from keypoints_tpu.utils.compile_cache import enable_compile_cache
 
-    enable_compile_cache()
+    from keypoints_tpu.utils.platform import apply_platform
+    apply_platform()      # $KEYPOINTS_TPU_PLATFORM (axon ignores
+    enable_compile_cache()  # JAX_PLATFORMS); before device access
     p = argparse.ArgumentParser(
         description="Build a packed FrameStore with a temporal-pair index: "
                     "from Atari rollouts (or the scripted-Pong fallback), "

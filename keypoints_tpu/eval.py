@@ -131,13 +131,14 @@ _SYNTHETIC_ORIGIN_FOR = {"pose": "synthetic_pose",
 
 def store_eval_batch(cfg: Config, store, batch: int, key: jax.Array,
                      landmarks: Optional[np.ndarray] = None):
-    """→ (src, tgt, true_positions | None) drawn from a REAL frame store.
+    """→ (src, tgt, true_positions | None, info) drawn from a REAL frame
+    store.
 
     Uses the store TAIL that ``train.scoring_holdout`` reserved from
     training, CLAMPING the batch to the reserved size so every scored row
     really is held out (a bigger batch would silently reach into trained
-    rows — VERDICT r4 review); stores too small to reserve a tail print an
-    in-sample warning instead. Pairs are built exactly like training:
+    rows — VERDICT r4 review); stores too small to reserve a tail fall
+    back to in-sample rows. Pairs are built exactly like training:
     temporal mode takes stored (frame_t, frame_{t+Δ}) pairs; warp mode
     applies one fixed independently-warped pair. ``landmarks`` is an
     optional (num_frames, K, 2) array of normalized (x, y) ground truth
@@ -145,6 +146,12 @@ def store_eval_batch(cfg: Config, store, batch: int, key: jax.Array,
     target warp (augment.make_pair_with_positions). Without it, locking is
     honestly unavailable (VERDICT r3 #5 — never score locking against
     ground truth from an unrelated simulator).
+
+    ``info`` is the machine-readable holdout record (VERDICT r4 #6): the
+    seen-batch fallback and the batch clamp are FIELDS a downstream
+    consumer can read, not just stdout warnings —
+    ``{"source": "store", "held_out": bool, "rows": int,
+    "requested_rows": int, "gt": "landmarks" | None}``.
     """
     d = cfg.data
     temporal = d.pair_mode == "temporal" and store.pairs is not None
@@ -163,6 +170,9 @@ def store_eval_batch(cfg: Config, store, batch: int, key: jax.Array,
               f"({n_items} items) — eval rows OVERLAP training data",
               flush=True)
         take = min(batch, n_items)
+    info = {"source": "store", "held_out": bool(holdout),
+            "rows": int(take), "requested_rows": int(batch),
+            "gt": "landmarks" if landmarks is not None else None}
     if landmarks is not None and len(landmarks) != len(store.frames):
         raise ValueError(
             f"landmarks rows ({len(landmarks)}) must match store frames "
@@ -170,24 +180,24 @@ def store_eval_batch(cfg: Config, store, batch: int, key: jax.Array,
     src, tgt, idx = tail_pair_frames(store, d.pair_mode, take)
     if temporal:
         pos = None if landmarks is None else np.asarray(landmarks[idx])
-        return src, tgt, pos
+        return src, tgt, pos, info
     frames = src
     from keypoints_tpu.training import warp_config
     wcfg = warp_config(cfg)
     if not (wcfg.field_res and wcfg.field_res < d.image_size):
         return frames, frames, (None if landmarks is None
-                                else np.asarray(landmarks[idx]))
+                                else np.asarray(landmarks[idx])), info
     if landmarks is None:
         from keypoints_tpu.data.augment import make_pair
         src, tgt = jax.jit(lambda k, f: make_pair(k, f, wcfg))(
             jax.random.fold_in(key, 1), frames)
-        return src, tgt, None
+        return src, tgt, None, info
     from keypoints_tpu.data.augment import make_pair_with_positions
     src, tgt, pos_t = jax.jit(
         lambda k, f, m: make_pair_with_positions(k, f, m, wcfg))(
         jax.random.fold_in(key, 1), frames,
         jnp.asarray(landmarks[idx], jnp.float32))
-    return src, tgt, np.asarray(pos_t)
+    return src, tgt, np.asarray(pos_t), info
 
 
 def eval_batch_for(cfg: Config, batch: int, key: jax.Array,
@@ -202,21 +212,32 @@ def eval_batch_for(cfg: Config, batch: int, key: jax.Array,
     * anything else (real ALE, ingested video/images, sidecar-less
       stores) → frames from the store itself; locking only when the
       caller supplies ``--landmarks`` (else None → locking skipped).
+
+    → (src, tgt, true_positions | None, info): ``info`` is the
+    machine-readable holdout/GT record (VERDICT r4 #6). A synthetic
+    generator draw with an independent key IS held-out data.
     """
     d = cfg.data
+
+    def synth(gt="generator"):
+        src, tgt, pos = synthetic_eval_batch(cfg, batch, key)
+        return src, tgt, pos, {"source": "synthetic", "held_out": True,
+                               "rows": int(len(src)),
+                               "requested_rows": int(batch), "gt": gt}
+
     landmarks = (None if landmarks_path is None
                  else np.load(landmarks_path))
     if d.dataset in ("synthetic_dots", "synthetic_pong"):
         if landmarks is not None:
             raise SystemExit(f"--landmarks does not apply to the "
                              f"{d.dataset} generator (GT is built in)")
-        return synthetic_eval_batch(cfg, batch, key)
+        return synth()
     from keypoints_tpu.data.records import store_path_for
     sp = store_path_for(d)
     if not os.path.exists(sp):
         if landmarks is not None:
             raise SystemExit(f"--landmarks given but no store at {sp}")
-        return synthetic_eval_batch(cfg, batch, key)  # trainer-synthesized
+        return synth()                               # trainer-synthesized
     from keypoints_tpu.data.records import FrameStore
     store = FrameStore(sp)
     # Guard BOTH sides: for a dataset with no mapped synthetic origin,
@@ -226,7 +247,7 @@ def eval_batch_for(cfg: Config, batch: int, key: jax.Array,
     if (landmarks is None
             and d.dataset in _SYNTHETIC_ORIGIN_FOR
             and store.meta.get("origin") == _SYNTHETIC_ORIGIN_FOR[d.dataset]):
-        return synthetic_eval_batch(cfg, batch, key)
+        return synth()
     if landmarks is None:
         print(f"store-backed eval ({sp}): no ground-truth landmarks — "
               f"locking/PCK skipped (pass --landmarks pos.npy with "
@@ -258,8 +279,10 @@ def _cli(argv=None):
     from keypoints_tpu.training import TrainState, init_state
     from keypoints_tpu.parallel import multihost
     from keypoints_tpu.utils.compile_cache import enable_compile_cache
+    from keypoints_tpu.utils.platform import apply_platform
 
-    enable_compile_cache()
+    apply_platform()         # honor $KEYPOINTS_TPU_PLATFORM (axon ignores
+    enable_compile_cache()   # JAX_PLATFORMS) — before any device access
     multihost.initialize()   # multi-host bootstrap; no-op single-process
 
     p = argparse.ArgumentParser(
@@ -284,6 +307,10 @@ def _cli(argv=None):
                         "locking/PCK on real footage")
     p.add_argument("--overlay", default=None,
                    help="write a keypoint-overlay PNG here")
+    p.add_argument("--json", default=None, metavar="OUT_JSON",
+                   help="also write {metrics + holdout/GT provenance} here "
+                        "(the same record is always printed as the final "
+                        "'result: {...}' line)")
     args = p.parse_args(argv)
     if (args.checkpoint is None) == (args.artifact is None):
         raise SystemExit("pass exactly one of --checkpoint / --artifact")
@@ -291,8 +318,9 @@ def _cli(argv=None):
     from keypoints_tpu.configs import apply_overrides
     cfg = apply_overrides(get_config(args.preset), args.override)
 
-    src, tgt, pos = eval_batch_for(cfg, args.batch, jax.random.PRNGKey(7),
-                                   landmarks_path=args.landmarks)
+    src, tgt, pos, info = eval_batch_for(cfg, args.batch,
+                                         jax.random.PRNGKey(7),
+                                         landmarks_path=args.landmarks)
     if args.artifact:
         from keypoints_tpu.export import load_extract
         fn = load_extract(args.artifact)
@@ -328,6 +356,16 @@ def _cli(argv=None):
         kp_fn = lambda imgs: extract(state.params, imgs)  # noqa: E731
     for k, v in metrics.items():
         print(f"{k}: {v:.5f}")
+    # machine-readable record (VERDICT r4 #6): the holdout/GT provenance
+    # travels WITH the numbers, not in stdout warnings a consumer loses
+    import json as _json
+    result = {"preset": args.preset, "step": None if args.artifact else step,
+              "metrics": metrics, **info}
+    print("result:", _json.dumps(result), flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            _json.dump(result, f, indent=1)
+        print(f"result written to {args.json}")
 
     if args.overlay:
         import cv2

@@ -240,7 +240,9 @@ def _cli(argv=None):
     from keypoints_tpu.training import TrainState, init_state
     from keypoints_tpu.utils.compile_cache import enable_compile_cache
 
-    enable_compile_cache()
+    from keypoints_tpu.utils.platform import apply_platform
+    apply_platform()      # $KEYPOINTS_TPU_PLATFORM (axon ignores
+    enable_compile_cache()  # JAX_PLATFORMS); before device access
     p = argparse.ArgumentParser(
         description="export the keypoint extractor as a StableHLO artifact")
     p.add_argument("--preset", required=True)

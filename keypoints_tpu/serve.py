@@ -286,7 +286,9 @@ def _cli(argv=None):
     from keypoints_tpu.parallel import multihost
     from keypoints_tpu.utils.compile_cache import enable_compile_cache
 
-    enable_compile_cache()
+    from keypoints_tpu.utils.platform import apply_platform
+    apply_platform()      # $KEYPOINTS_TPU_PLATFORM (axon ignores
+    enable_compile_cache()  # JAX_PLATFORMS); before device access
     multihost.initialize()   # multi-host bootstrap; no-op single-process
     p = argparse.ArgumentParser(
         description="HTTP keypoint-extraction server over an exported "

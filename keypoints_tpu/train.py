@@ -18,7 +18,7 @@ import argparse
 import os
 import sys
 import time
-from typing import Iterator
+from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp
@@ -280,6 +280,26 @@ def heldout_scoring_pair(cfg: Config):
         jax.random.PRNGKey(cfg.train.seed + 9), a)
 
 
+#: exit code a trainer child uses to signal "init never discovered all
+#: objects — reroll the seed" to the --reroll-on-plateau supervisor
+#: (distinct from crash codes so a real crash is never retried as a reroll)
+EXIT_DISCOVERY_FAILURE = 23
+
+
+class DiscoveryFailure(RuntimeError):
+    """Raised at eval cadence when keypoint_spread stays below the preset's
+    pinned threshold past spread_check_step and train.abort_on_plateau is
+    set (VERDICT r4 #4: a failed-discovery run used to burn the full
+    schedule and the user learned at eval time)."""
+
+    def __init__(self, step: int, spread: float, threshold: float):
+        super().__init__(
+            f"discovery failure at step {step}: keypoint_spread "
+            f"{spread:.3f} < {threshold} (quality.json: failed inits sit "
+            f"at ~0.46 vs 0.88+ healthy)")
+        self.step, self.spread = step, spread
+
+
 #: HBM kept free for runtime/framework overhead beyond XLA's own accounting
 PREFLIGHT_MARGIN_BYTES = 512 << 20
 
@@ -413,7 +433,8 @@ class BestTracker:
                     self.step = int(entry["step"])
                     break
 
-    def update(self, step: int, eval_loss: float, state) -> bool:
+    def update(self, step: int, eval_loss: float, state,
+               extra: Optional[dict] = None) -> bool:
         import json
         if not eval_loss < self.best:       # NaN also fails: never "best"
             return False
@@ -422,7 +443,12 @@ class BestTracker:
         self.best, self.step = eval_loss, step
         if self._mgr is None:               # lazy: only runs that improve pay
             self._mgr = ckpt.make_manager(self.dir, max_to_keep=1)
-        meta = {"step": step, "eval_loss": eval_loss, "previous": prev}
+        # ``extra`` carries the scoring-pair provenance (VERDICT r4 #6):
+        # held_out=False marks the legacy seen-batch fallback so a
+        # downstream consumer can tell in-sample scores apart WITHOUT
+        # parsing stdout warnings.
+        meta = {"step": step, "eval_loss": eval_loss, "previous": prev,
+                **(extra or {})}
         tmp = os.path.join(self.dir, "best.json.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -513,7 +539,7 @@ def train(cfg: Config, logdir: str | None = None,
     # (eval_loss_fn is still built so the preflight stays representative).
     best = (BestTracker(f"{t.checkpoint_dir}/{cfg.name}_best")
             if t.save_best and not dry_run else None)
-    eval_pair = None
+    eval_pair, eval_pair_info = None, None
     if t.save_best:
         from keypoints_tpu.losses import l2_loss
         _lf = loss or l2_loss
@@ -654,7 +680,7 @@ def train(cfg: Config, logdir: str | None = None,
 
     def _train_loop():
         nonlocal state, step, last_t, last_step, last_saved
-        nonlocal eval_batch, eval_pair
+        nonlocal eval_batch, eval_pair, eval_pair_info
         while step < t.steps:
             try:
                 state, metrics, step = advance(state, step)
@@ -692,7 +718,27 @@ def train(cfg: Config, logdir: str | None = None,
                     else eval_batch[1]
                 imgs = imgs[:8]
                 kp = extract(state.params, imgs)
-                over = overlay_keypoints(np.asarray(imgs), np.asarray(kp))
+                kp_np = np.asarray(kp)
+                # discovery-failure detection (VERDICT r4 #4): spread is
+                # the measured discriminator for the never-discovers init
+                # (quality.json pong64_s0: 0.46 vs 0.88-0.95 healthy) —
+                # surface it at every eval, in metrics.jsonl not just here
+                spread = float(np.mean(np.linalg.norm(
+                    kp_np[:, :, None] - kp_np[:, None], axis=-1)))
+                log.scalars(step, keypoint_spread=spread)
+                if (t.min_spread and step >= t.spread_check_step
+                        and spread < t.min_spread):
+                    print(f"step {step:6d} DISCOVERY FAILURE SUSPECTED: "
+                          f"keypoint_spread {spread:.3f} < {t.min_spread} "
+                          f"past step {t.spread_check_step} — some objects "
+                          f"were likely never discovered; rerolling the "
+                          f"init seed is the measured fix (BASELINE.md "
+                          f"r4 A/B; keypoints-train --reroll-on-plateau N "
+                          f"automates it)", flush=True)
+                    log.scalars(step, discovery_failure=1.0)
+                    if t.abort_on_plateau:
+                        raise DiscoveryFailure(step, spread, t.min_spread)
+                over = overlay_keypoints(np.asarray(imgs), kp_np)
                 log.images(step, "keypoints", image_grid(over))
                 if log.active:
                     # recon side-by-side (target | reconstruction), the
@@ -715,7 +761,25 @@ def train(cfg: Config, logdir: str | None = None,
                         # reserve a tail (test fixtures) falls back to the
                         # legacy seen-batch draw.
                         eval_pair = heldout_scoring_pair(cfg)
+                        if eval_pair is not None:
+                            eval_pair_info = {"held_out": True,
+                                              "scoring": "store_tail"}
                     if eval_pair is None:
+                        # a fused synthetic source draws with an
+                        # independent key (unseen); a fused tiny-store
+                        # source re-samples TRAINED rows; the stream path
+                        # reuses a seen training batch — record which
+                        # (VERDICT r4 #6: held_out as a field, not a print)
+                        synth_src = (cfg.data.dataset in
+                                     ("synthetic_dots", "synthetic_pong")
+                                     or not os.path.exists(
+                                         store_path_for(cfg.data)))
+                        eval_pair_info = (
+                            {"held_out": True, "scoring": "synthetic_draw"}
+                            if fused_src and synth_src else
+                            {"held_out": False,
+                             "scoring": ("store_insample" if fused_src
+                                         else "seen_batch")})
                         held = (sample_replicated(
                                     jax.random.PRNGKey(t.seed + 101),
                                     min(8, t.batch_size))
@@ -733,7 +797,9 @@ def train(cfg: Config, logdir: str | None = None,
                     el = float(np.asarray(
                         eval_loss_fn(state.params, *eval_pair)))
                     log.scalars(step, eval_loss=el)
-                    if best.update(step, el, state):
+                    if best.update(step, el, state,
+                                   extra={**eval_pair_info,
+                                          "rows": int(eval_pair[0].shape[0])}):
                         print(f"step {step:6d} new best eval_loss {el:.5f} "
                               f"-> {best.dir}", flush=True)
 
@@ -813,6 +879,37 @@ def _supervise(child_argv: list[str], max_restarts: int) -> int:
               f"checkpoint", flush=True)
 
 
+def _reroll_supervise(child_argv: list[str], max_rerolls: int) -> int:
+    """Automated init-reroll (VERDICT r4 #4): run the trainer in a child
+    with discovery-failure ABORT enabled; when it exits with
+    EXIT_DISCOVERY_FAILURE, relaunch with the NEXT seed (--seed-offset),
+    up to ``max_rerolls`` times. Any other exit code (success or crash)
+    passes through — a crash is a crash, not a lottery reroll. The child
+    quarantines its failed attempt's checkpoint dirs before exiting, so a
+    retry starts fresh instead of resuming the plateaued params."""
+    import signal
+    import subprocess
+
+    for attempt in range(max_rerolls + 1):
+        cmd = [sys.executable, "-m", "keypoints_tpu.train", *child_argv,
+               "--abort-on-plateau", "--seed-offset", str(attempt)]
+        proc = subprocess.Popen(cmd, start_new_session=True)
+        try:
+            code = proc.wait()
+        except KeyboardInterrupt:
+            proc.send_signal(signal.SIGINT)
+            return proc.wait()
+        if code != EXIT_DISCOVERY_FAILURE:
+            return code
+        if attempt < max_rerolls:
+            print(f"reroll supervisor: discovery failure — retrying with "
+                  f"seed offset {attempt + 1} "
+                  f"({attempt + 1}/{max_rerolls})", flush=True)
+    print(f"reroll supervisor: still failing after {max_rerolls} "
+          f"reroll(s)", flush=True)
+    return EXIT_DISCOVERY_FAILURE
+
+
 def _strip_flag(argv: list[str], flag: str) -> list[str]:
     """Remove ``flag value`` / ``flag=value`` pairs from an argv list."""
     out, skip = [], False
@@ -865,6 +962,21 @@ def main(argv=None):
                    help="run the trainer in a supervised subprocess; on a "
                         "crash, relaunch up to N times, each resuming from "
                         "the latest checkpoint")
+    p.add_argument("--reroll-on-plateau", type=int, default=None,
+                   metavar="N",
+                   help="run the trainer in a subprocess with discovery-"
+                        "failure abort enabled (train.min_spread must be "
+                        "set — pong64 pins it); on a detected failure, "
+                        "retry with the next seed up to N times (the "
+                        "measured fix for the ~1-in-3 pong64 "
+                        "never-discovers init, BASELINE.md r4/r5)")
+    p.add_argument("--abort-on-plateau", action="store_true",
+                   help="exit with the reroll code when discovery failure "
+                        "is detected (sets train.abort_on_plateau; the "
+                        "--reroll-on-plateau supervisor passes this)")
+    p.add_argument("--seed-offset", type=int, default=0,
+                   help="add this to train.seed after overrides (reroll "
+                        "attempts use 1, 2, ...)")
     p.add_argument("--platform", default=os.environ.get(
                         "KEYPOINTS_TPU_PLATFORM"),
                    choices=["cpu", "tpu"],
@@ -876,12 +988,20 @@ def main(argv=None):
         p.error("--dry-run and --profile are mutually exclusive "
                 "(a dry run never dispatches the steps a trace would record)")
     if args.supervise is not None:
-        if args.dry_run or args.profile:
+        if args.dry_run or args.profile or args.reroll_on_plateau is not None:
             p.error("--supervise cannot be combined with "
-                    "--dry-run/--profile")
+                    "--dry-run/--profile/--reroll-on-plateau")
         raw = list(argv) if argv is not None else list(sys.argv[1:])
         raise SystemExit(_supervise(_strip_flag(raw, "--supervise"),
                                     args.supervise))
+    if args.reroll_on_plateau is not None:
+        if args.dry_run or args.profile:
+            p.error("--reroll-on-plateau cannot be combined with "
+                    "--dry-run/--profile")
+        raw = list(argv) if argv is not None else list(sys.argv[1:])
+        raise SystemExit(_reroll_supervise(
+            _strip_flag(raw, "--reroll-on-plateau"),
+            args.reroll_on_plateau))
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     # Multi-host bootstrap (SURVEY §2.4): must run before any device access
@@ -894,6 +1014,14 @@ def main(argv=None):
     cfg = apply_overrides(get_config(args.preset), args.override)
     if args.steps is not None:
         cfg = cfg.override(**{"train.steps": args.steps})
+    if args.seed_offset:
+        cfg = cfg.override(**{"train.seed": cfg.train.seed + args.seed_offset})
+    if args.abort_on_plateau:
+        if not cfg.train.min_spread:
+            p.error("--abort-on-plateau needs train.min_spread (preset-"
+                    "pinned on pong64; pass --override train.min_spread=X "
+                    "elsewhere — thresholds do NOT transfer across presets)")
+        cfg = cfg.override(**{"train.abort_on_plateau": True})
     if args.dry_run:
         train(cfg, args.logdir, dry_run=True)
     elif args.profile:
@@ -911,7 +1039,22 @@ def main(argv=None):
             train(cfg.override(**{"train.steps": min(cfg.train.steps, 20)}),
                   args.logdir)
     else:
-        train(cfg, args.logdir)
+        try:
+            train(cfg, args.logdir)
+        except DiscoveryFailure as e:
+            # quarantine this attempt's checkpoints (non-destructively) so
+            # the next seed starts FRESH instead of resuming the plateaued
+            # params, then signal the reroll supervisor
+            for d in (f"{cfg.train.checkpoint_dir}/{cfg.name}",
+                      f"{cfg.train.checkpoint_dir}/{cfg.name}_best"):
+                if os.path.isdir(d):
+                    dst, i = f"{d}_failed_seed{cfg.train.seed}", 1
+                    while os.path.exists(dst):
+                        dst = f"{d}_failed_seed{cfg.train.seed}.{i}"
+                        i += 1
+                    os.rename(d, dst)
+            print(f"aborting: {e}", flush=True)
+            raise SystemExit(EXIT_DISCOVERY_FAILURE)
 
 
 if __name__ == "__main__":

@@ -91,7 +91,9 @@ def _cli(argv=None):
                                         make_extract_fn)
     from keypoints_tpu.utils.compile_cache import enable_compile_cache
 
-    enable_compile_cache()
+    from keypoints_tpu.utils.platform import apply_platform
+    apply_platform()      # $KEYPOINTS_TPU_PLATFORM (axon ignores
+    enable_compile_cache()  # JAX_PLATFORMS); before device access
     p = argparse.ArgumentParser(
         description="render a keypoint-annotated video from a trained model")
     p.add_argument("--preset", required=True)

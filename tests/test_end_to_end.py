@@ -467,6 +467,10 @@ def test_train_keeps_best_checkpoint(tmp_path, monkeypatch):
     with open(best_dir / "best.json") as f:
         meta = json.load(f)
     assert np.isfinite(meta["eval_loss"]) and meta["step"] in (4, 8)
+    # machine-readable scoring provenance (VERDICT r4 #6): a synthetic
+    # source's independent-key draw is held-out data
+    assert meta["held_out"] is True
+    assert meta["scoring"] == "synthetic_draw" and meta["rows"] >= 1
     state = init_state(cfg, jax.random.PRNGKey(0))
     mgr = ckpt_mod.make_manager(str(best_dir))
     step, restored = ckpt_mod.restore_latest(mgr, state._asdict())
@@ -634,6 +638,82 @@ def test_supervised_restart_recovers_from_crash(tmp_path):
     assert "injected fault" in out.stderr         # the crash was the fault
     # the relaunch resumed and completed: final step checkpointed
     assert (tmp_path / "ck" / "pong64" / "12").is_dir()
+
+
+def test_discovery_failure_detection_and_quarantine(tmp_path, monkeypatch):
+    """VERDICT r4 #4: a keypoint_spread below the preset threshold past
+    spread_check_step raises DiscoveryFailure when abort_on_plateau is set;
+    main() quarantines the attempt's checkpoints and exits with the reroll
+    code. min_spread=10 forces detection deterministically (spread of
+    [-1,1] keypoints can never reach 10); min_spread ~0 never fires."""
+    from keypoints_tpu import train as train_mod
+
+    monkeypatch.chdir(tmp_path)
+    over = ["model.encoder_filters=(8,16)", "model.encoder_strides=(2,2)",
+            "model.decoder_filters=(16,8)",
+            "model.decoder_upsample=(True,True)", "model.groups=4",
+            "data.image_size=32", "train.batch_size=4",
+            "train.compute_dtype=float32", "data.dataset=synthetic_dots",
+            "train.log_every=4", "train.eval_every=4",
+            "train.checkpoint_every=4", "train.checkpoint_dir=ck",
+            "train.spread_check_step=4"]
+    with pytest.raises(SystemExit) as ei:
+        train_mod.main(["--preset", "pong64", "--steps", "8",
+                        "--abort-on-plateau", "--override", *over,
+                        "train.min_spread=10.0"])
+    assert ei.value.code == train_mod.EXIT_DISCOVERY_FAILURE
+    # checkpoints quarantined, non-destructively, so a reroll starts fresh
+    assert (tmp_path / "ck" / "pong64_failed_seed0").is_dir()
+    assert not (tmp_path / "ck" / "pong64").exists()
+    # a healthy run (threshold tiny-but-truthy) completes untouched
+    train_mod.main(["--preset", "pong64", "--steps", "8",
+                    "--abort-on-plateau", "--override", *over,
+                    "train.min_spread=1e-9"])
+    assert (tmp_path / "ck" / "pong64" / "8").is_dir()
+
+
+def test_abort_on_plateau_requires_threshold():
+    """--abort-on-plateau on a preset without a pinned min_spread must
+    error loudly (thresholds do not transfer across presets: pose256's
+    healthy spread overlaps pong64's failure level)."""
+    from keypoints_tpu import train as train_mod
+    with pytest.raises(SystemExit):
+        train_mod.main(["--preset", "celeba128", "--abort-on-plateau"])
+
+
+@pytest.mark.slow
+def test_reroll_on_plateau_advances_seed(tmp_path):
+    """--reroll-on-plateau N: a discovery-failure exit relaunches the
+    trainer with the NEXT seed (fresh start, prior attempt quarantined) —
+    forced thresholds make both attempts fail, proving the seed advanced
+    and the loop stopped at the budget."""
+    import os
+    import subprocess
+    import sys
+
+    env = {**os.environ, "PYTHONPATH": os.getcwd(),
+           "KEYPOINTS_TPU_PLATFORM": "cpu"}
+    cmd = [sys.executable, "-m", "keypoints_tpu.train",
+           "--preset", "pong64", "--steps", "8", "--reroll-on-plateau", "1",
+           "--override",
+           "model.encoder_filters=(8,16)", "model.encoder_strides=(2,2)",
+           "model.decoder_filters=(16,8)",
+           "model.decoder_upsample=(True,True)", "model.groups=4",
+           "data.image_size=32", "train.batch_size=4",
+           "train.compute_dtype=float32", "data.dataset=synthetic_dots",
+           "train.log_every=4", "train.eval_every=4",
+           "train.checkpoint_every=4", "train.checkpoint_dir=ck",
+           "train.spread_check_step=4", "train.min_spread=10.0"]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=str(tmp_path), timeout=600)
+    from keypoints_tpu.train import EXIT_DISCOVERY_FAILURE
+    assert out.returncode == EXIT_DISCOVERY_FAILURE, \
+        out.stdout + "\n" + out.stderr
+    assert "retrying with seed offset 1" in out.stdout
+    # both attempts quarantined under their own seeds: attempt 2 really ran
+    # with seed+1 and did not resume attempt 1's checkpoints
+    assert (tmp_path / "ck" / "pong64_failed_seed0").is_dir()
+    assert (tmp_path / "ck" / "pong64_failed_seed1").is_dir()
 
 
 def test_train_cli_dry_run_profile_conflict():

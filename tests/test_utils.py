@@ -1,5 +1,7 @@
 """Tests for debug guards, profiling utils, viz, and the eval harness."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -260,14 +262,15 @@ def test_eval_batch_for_honest_store_routing(tmp_path, capsys):
         "train.batch_size": 8})
 
     # no store yet → generator (the trainer would synthesize the same)
-    _, _, pos = eval_batch_for(cfg, 4, key)
+    _, _, pos, info = eval_batch_for(cfg, 4, key)
     assert pos is not None
+    assert info["source"] == "synthetic" and info["held_out"]
 
     # synthetic-origin store → generator GT still honest
     generate_face_store(str(tmp_path / f"celeba_{size}.npy"),
                         count=32, size=size, seed=0, chunk=16)
-    _, _, pos = eval_batch_for(cfg, 4, key)
-    assert pos is not None
+    _, _, pos, info = eval_batch_for(cfg, 4, key)
+    assert pos is not None and info["source"] == "synthetic"
 
     # hand-built store (no sidecar) = real footage: frames from the STORE
     # tail, locking GT honestly absent, note printed
@@ -275,8 +278,10 @@ def test_eval_batch_for_honest_store_routing(tmp_path, capsys):
     frames[-4:] = 200
     FrameStore.write(str(tmp_path / f"celeba_{size}.npy"), frames)
     capsys.readouterr()
-    src, tgt, pos = eval_batch_for(cfg, 4, key)
+    src, tgt, pos, info = eval_batch_for(cfg, 4, key)
     assert pos is None
+    assert info == {"source": "store", "held_out": True, "rows": 4,
+                    "requested_rows": 4, "gt": None}
     assert "locking/PCK skipped" in capsys.readouterr().out
     # warp-mode pair built from the marked tail frames (border padding)
     assert float(np.asarray(src).mean()) > 0.5
@@ -286,8 +291,9 @@ def test_eval_batch_for_honest_store_routing(tmp_path, capsys):
     marks = np.zeros((32, 2, 2), np.float32)
     lp = str(tmp_path / "marks.npy")
     np.save(lp, marks)
-    src, tgt, pos = eval_batch_for(cfg, 4, key, landmarks_path=lp)
+    src, tgt, pos, info = eval_batch_for(cfg, 4, key, landmarks_path=lp)
     assert pos is not None and pos.shape == (4, 2, 2)
+    assert info["gt"] == "landmarks" and info["held_out"]
     assert np.all(np.abs(pos) <= 1.2)          # center maps near center
 
     # row-count mismatch fails loudly
@@ -304,7 +310,7 @@ def test_eval_batch_for_honest_store_routing(tmp_path, capsys):
         "data.data_dir": str(tmp_path), "data.image_size": size,
         "train.batch_size": 8})
     capsys.readouterr()
-    src, tgt, pos = eval_batch_for(cfg_t, 4, jax.random.PRNGKey(1))
+    src, tgt, pos, _ = eval_batch_for(cfg_t, 4, jax.random.PRNGKey(1))
     assert pos is None and "locking/PCK skipped" in capsys.readouterr().out
     store = __import__("keypoints_tpu.data.records",
                        fromlist=["FrameStore"]).FrameStore(
@@ -312,7 +318,7 @@ def test_eval_batch_for_honest_store_routing(tmp_path, capsys):
     marks1 = np.tile(np.arange(32, dtype=np.float32)[:, None, None],
                      (1, 3, 2)) / 32.0
     np.save(lp, marks1)
-    src, tgt, pos = store_eval_batch(cfg_t, store, 4, key, np.load(lp))
+    src, tgt, pos, _ = store_eval_batch(cfg_t, store, 4, key, np.load(lp))
     ij = pairs[-4:]
     np.testing.assert_allclose(pos, marks1[ij[:, 1]])
 
@@ -325,8 +331,9 @@ def test_eval_batch_for_honest_store_routing(tmp_path, capsys):
     FrameStore.write(str(tmp_path / f"mycam_{size}.npy"), frames_u)
     cfg_u = cfg.override(**{"data.dataset": "mycam"})
     capsys.readouterr()
-    src, tgt, pos = eval_batch_for(cfg_u, 4, key)
+    src, tgt, pos, info = eval_batch_for(cfg_u, 4, key)
     assert pos is None
+    assert info["source"] == "store" and info["gt"] is None
     assert "locking/PCK skipped" in capsys.readouterr().out
     assert float(np.asarray(src).mean()) > 0.5   # the marked store tail
 
@@ -350,14 +357,29 @@ def test_store_eval_batch_clamps_to_heldout_tail(tmp_path, capsys):
     assert scoring_holdout(cfg, n) == 64
     store = FrameStore(sp)
     capsys.readouterr()
-    src, tgt, pos = store_eval_batch(cfg, store, 128, jax.random.PRNGKey(0))
+    src, tgt, pos, info = store_eval_batch(cfg, store, 128,
+                                            jax.random.PRNGKey(0))
     out = capsys.readouterr().out
     assert "clamped 128 -> 64" in out
+    assert info == {"source": "store", "held_out": True, "rows": 64,
+                    "requested_rows": 128, "gt": None}
     assert src.shape[0] == 64
     # every eval row comes from the marked held-out tail (border padding
     # in the warp keeps marked content dominant; trained rows are all 0)
     per_row = np.asarray(src).reshape(64, -1).mean(axis=1)
     assert per_row.min() > 0.5
+
+    # a store too small to reserve a tail records the in-sample fallback
+    # as a FIELD (VERDICT r4 #6), not only a stdout warning
+    sp2 = str(tmp_path / "tiny" / f"celeba_{size}.npy")
+    os.makedirs(str(tmp_path / "tiny"))
+    FrameStore.write(sp2, frames[:16])
+    cfg2 = cfg.override(**{"data.data_dir": str(tmp_path / "tiny")})
+    capsys.readouterr()
+    _, _, _, info = store_eval_batch(cfg2, FrameStore(sp2), 8,
+                                     jax.random.PRNGKey(0))
+    assert info["held_out"] is False and info["rows"] == 8
+    assert "OVERLAP training data" in capsys.readouterr().out
 
 
 def test_checkify_step_catches_warp_window_violation(monkeypatch):
