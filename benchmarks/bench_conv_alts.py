@@ -60,13 +60,12 @@ def base_conv(stride, ks=3, pad=1):
     return f
 
 
-def f32accum_conv(stride, pad=1):
-    def f(x, k):
-        y = jax.lax.conv_general_dilated(
-            x, k, (stride, stride), ((pad, pad), (pad, pad)),
-            dimension_numbers=_DN, preferred_element_type=jnp.float32)
-        return y.astype(x.dtype)
-    return f
+# NOTE an earlier "f32accum" variant (preferred_element_type=f32, cast
+# back) is unmeasurable through jax.vjp — the cast's f32 cotangent hits
+# XLA's conv transpose next to bf16 operands and conv_general_dilated
+# rejects the dtype mix. It was also redundant: XLA already accumulates
+# bf16 convs in f32 on the MXU. The distinct schedule worth measuring is
+# full-f32 operands ("f32" rows, via time_alt's dtype).
 
 
 def nchw_conv(stride, pad=1):
@@ -157,15 +156,15 @@ def dot1x1(x, k):
 # ------------------------------------------------------------------ harness
 
 
-def time_alt(f, h, cin, cout, hout, ks, need_dx, layout="nhwc", batch=128):
+def time_alt(f, h, cin, cout, hout, ks, need_dx, layout="nhwc", batch=128,
+             dtype=jnp.bfloat16):
     """floor_proof.bench_conv's timing body for an arbitrary formulation."""
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(batch, h, h, cin), jnp.float32
-                    ).astype(jnp.bfloat16)
+    x = jnp.asarray(rng.rand(batch, h, h, cin), jnp.float32).astype(dtype)
     k = jnp.asarray(rng.rand(ks, ks, cin, cout) * 0.1, jnp.float32
-                    ).astype(jnp.bfloat16)
+                    ).astype(dtype)
     dy0 = jnp.asarray(rng.rand(batch, hout, hout, cout), jnp.float32
-                      ).astype(jnp.bfloat16)
+                      ).astype(dtype)
     if layout == "nchw":
         x = jnp.transpose(x, (0, 3, 1, 2))
         k = jnp.transpose(k, (3, 2, 0, 1))
@@ -192,18 +191,20 @@ def time_alt(f, h, cin, cout, hout, ks, need_dx, layout="nhwc", batch=128):
 
 
 def _alts_for(name, stride, kind):
-    """The formulation menu per row kind. Each entry: (f, ks, layout)."""
+    """The formulation menu per row kind.
+    Each entry: (f, ks, layout, dtype)."""
+    bf, f32 = jnp.bfloat16, jnp.float32
     if kind == "up":
-        return {"plain_up": (plain_up, 4, "nhwc"),
-                "subpixel": (subpixel_up, 4, "nhwc")}
+        return {"plain_up": (plain_up, 4, "nhwc", bf),
+                "subpixel": (subpixel_up, 4, "nhwc", bf)}
     if kind == "head1x1":
-        return {"dot1x1": (dot1x1, 1, "nhwc"),
-                "f32accum": (f32accum_conv(1, pad=0), 1, "nhwc")}
-    alts = {"im2col": (im2col_conv(stride), 3, "nhwc"),
-            "nchw": (nchw_conv(stride), 3, "nchw"),
-            "f32accum": (f32accum_conv(stride), 3, "nhwc")}
+        return {"dot1x1": (dot1x1, 1, "nhwc", bf),
+                "f32": (base_conv(1, ks=1, pad=0), 1, "nhwc", f32)}
+    alts = {"im2col": (im2col_conv(stride), 3, "nhwc", bf),
+            "nchw": (nchw_conv(stride), 3, "nchw", bf),
+            "f32": (base_conv(stride), 3, "nhwc", f32)}
     if stride == 2:
-        alts["s2d"] = (s2d_conv(), 3, "nhwc")
+        alts["s2d"] = (s2d_conv(), 3, "nhwc", bf)
     return alts
 
 
@@ -215,10 +216,8 @@ def check_equivalence():
         x = jnp.asarray(rng.randn(2, 16, 16, 5), jnp.float32)
         k = jnp.asarray(rng.randn(3, 3, 5, 6) * 0.2, jnp.float32)
         ref = base_conv(stride)(x, k)
-        for nm, f in [("im2col", im2col_conv(stride)),
-                      ("f32accum", f32accum_conv(stride))]:
-            d = float(jnp.max(jnp.abs(f(x, k) - ref)))
-            assert d < 1e-4, (nm, stride, d)
+        d = float(jnp.max(jnp.abs(im2col_conv(stride)(x, k) - ref)))
+        assert d < 1e-4, ("im2col", stride, d)
         xn = jnp.transpose(x, (0, 3, 1, 2))
         kn = jnp.transpose(k, (3, 2, 0, 1))
         d = float(jnp.max(jnp.abs(
@@ -257,8 +256,12 @@ def main():
             continue                       # already proven by the padding tie
         hout = h * 2 if kind == "up" else h // stride
         alts = row.setdefault("alternatives", {})
-        for alt_name, (f, ks, layout) in _alts_for(name, stride, kind).items():
-            ms = time_alt(f, h, cin, cout, hout, ks, need_dx, layout)
+        for alt_name, (f, ks, layout, dt) in _alts_for(name, stride,
+                                                       kind).items():
+            if alt_name in alts:
+                continue                     # resume: keep measured rows
+            ms = time_alt(f, h, cin, cout, hout, ks, need_dx, layout,
+                          dtype=dt)
             alts[alt_name] = round(ms, 3)
             print(f"{name} {alt_name}: {ms:.3f} ms (base {row['ms']})",
                   flush=True)

@@ -10,6 +10,15 @@ tests/test_quality_regression.py sit above, and that BASELINE.md records.
 
 Run ON THE TPU (hours of CPU otherwise):
   python benchmarks/quality_sweep.py [preset ...]    # default: all four
+
+``--smoke`` (VERDICT r4 #5 — a LIVE on-chip quality gate): re-train ONE
+pinned known-healthy seed per preset at the pinned schedule from CURRENT
+code and ASSERT locking against smoke-calibrated bounds (exit nonzero on
+violation). Writes quality_smoke.json; never touches quality.json (the
+3-seed band artifact). This is the documented pre-snapshot command — a
+code change that silently hurts on-chip locking now fails this run, not a
+future manual sweep:
+  python benchmarks/quality_sweep.py --smoke [preset ...]
 """
 
 from __future__ import annotations
@@ -40,6 +49,19 @@ SCHEDULES = {          # preset → pinned step count (VERDICT r3 #4)
 }
 SEEDS = (0, 1, 2)
 
+#: --smoke: one pinned KNOWN-HEALTHY seed per preset (quality.json r4:
+#: pong64 s2 0.063, atari s0 0.058, celeba s0 0.079, pose s2 0.035) —
+#: the smoke gate asserts code health, not the init lottery (the lottery
+#: is the 3-seed band's job, and pong64 seed 0 is a DOCUMENTED failure).
+SMOKE_SEED = {"pong64": 2, "transporter_atari": 0,
+              "celeba128": 0, "pose256": 2}
+
+#: locking_median bounds for the smoke gate: the r4/r5 recorded value for
+#: that (preset, seed, schedule) with a 1.6x margin for run variance
+#: (BASELINE.md records the bands; re-pin if a schedule changes).
+SMOKE_BOUNDS = {"pong64": 0.10, "transporter_atari": 0.095,
+                "celeba128": 0.13, "pose256": 0.06}
+
 
 def run_one(preset: str, steps: int, seed: int, workdir: str) -> dict:
     from keypoints_tpu.configs import get_config
@@ -65,6 +87,43 @@ def run_one(preset: str, steps: int, seed: int, workdir: str) -> dict:
     m.update(preset=preset, seed=seed, steps=steps,
              train_s=round(dt, 1), fps=round(steps * cfg.train.batch_size / dt, 1))
     return m
+
+
+def smoke(presets=None) -> int:
+    """One pinned healthy seed per preset from CURRENT code; assert the
+    smoke bounds. → exit code (0 healthy). Writes quality_smoke.json."""
+    from keypoints_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+    presets = presets or list(SCHEDULES)
+    dst = os.path.join(_HERE, "quality_smoke.json")
+    workdir = tempfile.mkdtemp(prefix="kp_smoke_")
+    results, failures = {}, []
+    try:
+        for preset in presets:
+            seed, steps = SMOKE_SEED[preset], SCHEDULES[preset]
+            print(f"=== smoke {preset} seed {seed} ({steps} steps)",
+                  flush=True)
+            m = run_one(preset, steps, seed, workdir)
+            bound = SMOKE_BOUNDS[preset]
+            m["bound"] = bound
+            m["ok"] = bool(m["locking_median"] <= bound)
+            results[preset] = m
+            print(preset, json.dumps(m), flush=True)
+            if not m["ok"]:
+                failures.append(
+                    f"{preset}: locking_median {m['locking_median']:.3f} "
+                    f"> bound {bound}")
+            with open(dst, "w") as f:
+                json.dump({"runs": results,
+                           "device": jax.devices()[0].platform}, f, indent=1)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    if failures:
+        print("SMOKE GATE FAILED:\n  " + "\n  ".join(failures), flush=True)
+        return 1
+    print("smoke gate ok:", {p: round(r["locking_median"], 3)
+                             for p, r in results.items()}, flush=True)
+    return 0
 
 
 def main(presets=None):
@@ -118,4 +177,8 @@ def _write(dst, results):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or None)
+    argv = sys.argv[1:]
+    if "--smoke" in argv:
+        argv.remove("--smoke")
+        raise SystemExit(smoke(argv or None))
+    main(argv or None)

@@ -40,9 +40,12 @@ run bench    1200 python bench.py
 run pong64   2400 python -m keypoints_tpu.train --preset pong64 \
     --steps 1000 --override train.checkpoint_dir=/tmp/onchip_ck \
     train.log_every=200 train.eval_every=500 train.checkpoint_every=500
-# 5. pose256 b128 preset-default sanity (expect ~670 fps, 11.9 GiB peak)
+# 5. pose256 b128 preset-default sanity (expect ~577 fps, 11.9 GiB peak)
 run pose256  3600 python -m keypoints_tpu.train --preset pose256 \
     --steps 500 --override train.checkpoint_dir=/tmp/onchip_ck_pose \
     train.log_every=100 train.eval_every=500 train.checkpoint_every=500
+# 6. LIVE quality gate (VERDICT r4 #5): one pinned healthy seed per preset
+#    re-trained from current code; exits nonzero if locking regressed
+run smoke    3600 python benchmarks/quality_sweep.py --smoke
 
 echo "[queue] done — logs in $LOG"

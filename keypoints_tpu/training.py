@@ -221,3 +221,22 @@ def make_extract_fn(cfg: Config, model: nn.Module) -> Callable:
         return model.apply({"params": params}, images,
                            method=model.extract_keypoints)
     return extract
+
+
+def make_extract_many_fn(cfg: Config, model: nn.Module) -> Callable:
+    """Bulk extraction: (params, (N, B, C, H, W)) → (N, B, K, 2) in ONE
+    device dispatch (``lax.map`` over pre-loaded batches).
+
+    Through the remote-TPU tunnel every dispatch costs ~1.4 ms of host
+    round-trip that the per-batch path pays per 8.2 ms of device work
+    (DESIGN.md extract accounting: 9.65 ms wall vs 8.20 device). Bulk
+    dataset labeling — the [B:2] extract use case — amortizes it to one
+    round-trip per N batches. Batches beyond the saturation batch (1024)
+    belong in N, not B: the per-batch program keeps its measured-optimal
+    working set while N only adds sequential iterations.
+    """
+    extract = make_extract_fn(cfg, model)
+
+    def extract_many(params, images):
+        return jax.lax.map(lambda im: extract(params, im), images)
+    return extract_many

@@ -121,3 +121,27 @@ def test_upconv2x_custom_vjp_matches_autodiff():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(ga[1]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_extract_many_matches_per_batch():
+    """make_extract_many_fn (one-dispatch bulk labeling, VERDICT r4 #3)
+    returns exactly the stacked per-batch extractions."""
+    from keypoints_tpu.configs import get_config
+    from keypoints_tpu.training import (build_model, init_state,
+                                        make_extract_fn,
+                                        make_extract_many_fn)
+
+    cfg = get_config("pong64").override(**{
+        "model.encoder_filters": (8, 16), "model.encoder_strides": (2, 2),
+        "model.decoder_filters": (16, 8),
+        "model.decoder_upsample": (True, True), "model.groups": 4,
+        "data.image_size": 32, "train.compute_dtype": "float32"})
+    model = build_model(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (3, 4, 1, 32, 32))
+    single = jax.jit(make_extract_fn(cfg, model))
+    many = jax.jit(make_extract_many_fn(cfg, model))
+    got = np.asarray(many(state.params, imgs))
+    want = np.stack([np.asarray(single(state.params, b)) for b in imgs])
+    assert got.shape == (3, 4, cfg.model.num_keypoints, 2)
+    np.testing.assert_allclose(got, want, atol=1e-6)
