@@ -38,6 +38,9 @@ def test_orbax_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+# slow tier (r5 suite budget): retention policy only — the default set
+# still covers save/restore via test_orbax_roundtrip + the e2e resumes
+@pytest.mark.slow
 def test_orbax_max_to_keep(tmp_path):
     cfg = _small_cfg()
     state = init_state(cfg, jax.random.PRNGKey(0))._asdict()
@@ -134,6 +137,9 @@ def test_export_torch_exact_roundtrip():
         np.testing.assert_array_equal(back[k], want[k])
 
 
+# slow tier (r5 suite budget): the flax->torch EXPORT direction; the
+# default set keeps the torch->flax conversion agreement test
+@pytest.mark.slow
 def test_export_torch_forward_agreement(tmp_path):
     """Flax-trained weights load into the golden torch model (strict) and
     reproduce the flax forward — TPU-trained checkpoints are usable from the

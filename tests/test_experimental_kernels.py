@@ -51,18 +51,22 @@ def test_warp_tree_yselect_matches_oracle(padding):
                                    np.asarray(want), atol=2e-2)
 
 
-def test_tree_violated_window_degrades_like_mask():
-    """ADVICE r2 #2: with the window invariant VIOLATED (window smaller than
-    the real per-block y spread), the tree kernel must degrade exactly like
-    the shipped mask-reduce path — clamped out-of-window y-selects contribute
-    ZERO, never a wrong real row.
+def test_tree_violated_window_degradation_modes():
+    """With the window invariant VIOLATED (window smaller than the real
+    per-block y spread), each kernel's documented degradation mode holds:
 
-    Exercised at the failing alignment before the fix: y_window=32 →
-    win=64 → win_p=32, a power of two, where the pre-fix tree had no
-    zero-pad row and clamped onto the last REAL row."""
+    * the SHIPPED mask-reduce path clamps out-of-band in-image samples to
+      the band-edge row (r4 ADVICE medium #2 fix: a violated band
+      degrades to a locally clamped warp — NEVER silently-black rows);
+    * the recorded tree kernel keeps its historical zero-fill semantics
+      (this file is a measured-negative lab notebook, not a shipping
+      path), exercised at the failing alignment the r2 fix targeted:
+      y_window=32 → win=64 → win_p=32, a power of two, where the pre-fix
+      tree had no zero-pad row and clamped onto the last REAL row.
+    """
     from keypoints_tpu.kernels.warp_pallas import warp_bilinear_pallas
-    img = jnp.asarray(np.random.RandomState(29).rand(1, 3, 128, 64),
-                      jnp.float32).astype(jnp.bfloat16)
+    img_np = np.random.RandomState(29).rand(1, 3, 128, 64) * 0.8 + 0.1
+    img = jnp.asarray(img_np, jnp.float32).astype(jnp.bfloat16)
     ho, wo = 64, 64
     xs = jnp.linspace(-0.9, 0.9, wo)
     # y alternates between extremes inside every 8-row block → per-block
@@ -76,6 +80,10 @@ def test_tree_violated_window_degrades_like_mask():
                                     y_window=32, interpret=True)
     tree = np.asarray(got_tree, np.float32)
     mask = np.asarray(got_mask, np.float32)
-    np.testing.assert_allclose(tree, mask, atol=2e-2)
-    # the violated window really did zero out the out-of-window samples
-    assert np.any(np.abs(mask) < 1e-6)
+    # in-window rows agree between the two kernels
+    np.testing.assert_allclose(tree[:, :, ::2], mask[:, :, ::2], atol=2e-2)
+    # tree: the violated window zeroed the out-of-window samples
+    assert np.all(np.abs(tree[:, :, 1::2]) < 1e-6)
+    # shipped kernel: every pixel is a REAL (clamped) sample — all inputs
+    # are >= 0.1, so no silently-black rows anywhere
+    assert np.all(mask > 1e-3)
