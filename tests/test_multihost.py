@@ -286,7 +286,9 @@ def test_two_process_psum(tmp_path):
         for i in range(2)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=300)
+        # generous: two jax processes time-slicing ONE core (this host)
+        # under concurrent load measured 190+ s; 300 flaked (r5 full run)
+        out, _ = p.communicate(timeout=600)
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
