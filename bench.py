@@ -167,8 +167,13 @@ def bench_extract_bulk(batch_size: int = 1024, nchunks: int = 8,
     state = init_state(cfg, jax.random.PRNGKey(0))
     many = jax.jit(make_extract_many_fn(cfg, model))
     s = cfg.data.image_size
-    images = jnp.asarray(np.random.RandomState(0).rand(
-        nchunks, batch_size, 3, s, s), jnp.float32)
+    # generate ON DEVICE: a host-materialized (nchunks, B, 3, s, s) array
+    # would be ~3.2 GB float64 on this 1-core host and ~1.6 GB of H2D
+    # through the ~22 MB/s tunnel — a minute of setup for content that is
+    # irrelevant to the dispatch-amortization being measured
+    images = jax.random.uniform(
+        jax.random.PRNGKey(0), (nchunks, batch_size, 3, s, s), jnp.float32)
+    images.block_until_ready()
     for _ in range(warmup):
         kp = many(state.params, images)
     np.asarray(kp[0, 0, 0])

@@ -164,9 +164,12 @@ def time_pool(name, count, h, c, mode, batch=BATCH):
 
     ms = scan_diff_ms(body, (jnp.float32(0.0), x, dy0),
                       n1=30 if h >= 256 else 100, reps=2)
-    nb = 2 * batch * h * h * c                       # read x
+    nb = 2 * batch * h * h * c                       # read x (bf16)
     if mode == "x":
-        nb += 2 * batch * h * h * c // 4 * 3         # read dy, write dx
+        # reads-only convention (floor_proof.py): the dx write fuses into
+        # the harness's reduce consumer, so the backward adds only the dy
+        # read — (h/2)² * c elements = 1/4 of the base
+        nb += 2 * batch * h * h * c // 4
     return name, {"count": count, "mode": mode, "ms": round(ms, 3),
                   "ms_total": round(count * ms, 3),
                   "read_floor_ms": round(nb / HBM_BYTES_PER_S * 1e3, 3)}

@@ -179,6 +179,11 @@ def _cli(argv=None):
     import argparse
     import json
 
+    from keypoints_tpu.utils.platform import apply_platform
+    apply_platform()      # $KEYPOINTS_TPU_PLATFORM — shape validation and
+    # the export-torch restore allocate on the default backend otherwise,
+    # grabbing the axon TPU mid-measurement (same rule as every other CLI)
+
     p = argparse.ArgumentParser(
         description="convert checkpoints between torch and Orbax formats")
     sub = p.add_subparsers(dest="cmd", required=True)

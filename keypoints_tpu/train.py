@@ -722,9 +722,11 @@ def train(cfg: Config, logdir: str | None = None,
                 # discovery-failure detection (VERDICT r4 #4): spread is
                 # the measured discriminator for the never-discovers init
                 # (quality.json pong64_s0: 0.46 vs 0.88-0.95 healthy) —
-                # surface it at every eval, in metrics.jsonl not just here
-                spread = float(np.mean(np.linalg.norm(
-                    kp_np[:, :, None] - kp_np[:, None], axis=-1)))
+                # surface it at every eval, in metrics.jsonl not just here.
+                # MUST be eval.keypoint_metrics' spread — the pinned
+                # min_spread thresholds were calibrated against it
+                from keypoints_tpu.eval import keypoint_metrics
+                spread = keypoint_metrics(kp_np)["keypoint_spread"]
                 log.scalars(step, keypoint_spread=spread)
                 if (t.min_spread and step >= t.spread_check_step
                         and spread < t.min_spread):
@@ -869,6 +871,15 @@ def _supervise(child_argv: list[str], max_restarts: int) -> int:
             return proc.wait()
         if code == 0:
             return 0
+        if code == EXIT_DISCOVERY_FAILURE:
+            # a reroll signal, not a crash: the child already quarantined
+            # its checkpoints, so "resume from latest" would deterministically
+            # re-train the same seed to the same plateau — pass it through
+            # (the inverse of _reroll_supervise's "a crash is a crash" rule)
+            print("supervisor: discovery failure (not a crash) — not "
+                  "restarting; use --reroll-on-plateau to retry with a new "
+                  "seed", flush=True)
+            return code
         if restarts >= max_restarts:
             print(f"supervisor: giving up after {restarts} restart(s) "
                   f"(exit code {code})", flush=True)
@@ -879,20 +890,26 @@ def _supervise(child_argv: list[str], max_restarts: int) -> int:
               f"checkpoint", flush=True)
 
 
-def _reroll_supervise(child_argv: list[str], max_rerolls: int) -> int:
+def _reroll_supervise(child_argv: list[str], max_rerolls: int,
+                      base_offset: int = 0) -> int:
     """Automated init-reroll (VERDICT r4 #4): run the trainer in a child
     with discovery-failure ABORT enabled; when it exits with
     EXIT_DISCOVERY_FAILURE, relaunch with the NEXT seed (--seed-offset),
     up to ``max_rerolls`` times. Any other exit code (success or crash)
     passes through — a crash is a crash, not a lottery reroll. The child
     quarantines its failed attempt's checkpoint dirs before exiting, so a
-    retry starts fresh instead of resuming the plateaued params."""
+    retry starts fresh instead of resuming the plateaued params.
+
+    ``base_offset`` is the user's own --seed-offset (stripped from
+    ``child_argv`` by the caller): attempts run at base, base+1, ... so a
+    rerun can continue the lottery past seeds already known to fail."""
     import signal
     import subprocess
 
     for attempt in range(max_rerolls + 1):
         cmd = [sys.executable, "-m", "keypoints_tpu.train", *child_argv,
-               "--abort-on-plateau", "--seed-offset", str(attempt)]
+               "--abort-on-plateau",
+               "--seed-offset", str(base_offset + attempt)]
         proc = subprocess.Popen(cmd, start_new_session=True)
         try:
             code = proc.wait()
@@ -903,7 +920,7 @@ def _reroll_supervise(child_argv: list[str], max_rerolls: int) -> int:
             return code
         if attempt < max_rerolls:
             print(f"reroll supervisor: discovery failure — retrying with "
-                  f"seed offset {attempt + 1} "
+                  f"seed offset {base_offset + attempt + 1} "
                   f"({attempt + 1}/{max_rerolls})", flush=True)
     print(f"reroll supervisor: still failing after {max_rerolls} "
           f"reroll(s)", flush=True)
@@ -1000,8 +1017,9 @@ def main(argv=None):
                     "--dry-run/--profile")
         raw = list(argv) if argv is not None else list(sys.argv[1:])
         raise SystemExit(_reroll_supervise(
-            _strip_flag(raw, "--reroll-on-plateau"),
-            args.reroll_on_plateau))
+            _strip_flag(_strip_flag(raw, "--reroll-on-plateau"),
+                        "--seed-offset"),
+            args.reroll_on_plateau, base_offset=args.seed_offset))
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     # Multi-host bootstrap (SURVEY §2.4): must run before any device access

@@ -769,3 +769,87 @@ def test_train_loop_with_grad_accum(tmp_path, monkeypatch):
         "train.checkpoint_dir": "ga_ck"})
     state = train(cfg)
     assert int(np.asarray(state.step)) == 4
+
+
+def test_supervise_passes_discovery_failure_through(monkeypatch):
+    """A child exiting with EXIT_DISCOVERY_FAILURE must NOT be retried as a
+    crash: the child quarantined its checkpoints, so "resume from latest"
+    would deterministically re-train the same seed to the same plateau
+    (r5 review #1). --supervise forwards the reroll code unchanged."""
+    import subprocess
+    from keypoints_tpu import train as train_mod
+
+    launches = []
+
+    class FakeProc:
+        def __init__(self, cmd, **kw):
+            launches.append(cmd)
+
+        def wait(self):
+            return train_mod.EXIT_DISCOVERY_FAILURE
+
+    monkeypatch.setattr(subprocess, "Popen", FakeProc)
+    code = train_mod._supervise(["--preset", "pong64"], max_restarts=3)
+    assert code == train_mod.EXIT_DISCOVERY_FAILURE
+    assert len(launches) == 1            # no restart burned on a non-crash
+
+
+def test_reroll_supervise_composes_user_seed_offset(monkeypatch):
+    """--seed-offset K + --reroll-on-plateau N runs attempts at K, K+1, ...
+    (r5 review #2: argparse last-wins silently discarded the user's K, so a
+    rerun meant to continue the lottery re-trained known-failing seeds)."""
+    import subprocess
+    from keypoints_tpu import train as train_mod
+
+    launches = []
+
+    class FakeProc:
+        def __init__(self, cmd, **kw):
+            launches.append(cmd)
+
+        def wait(self):
+            return train_mod.EXIT_DISCOVERY_FAILURE
+
+    monkeypatch.setattr(subprocess, "Popen", FakeProc)
+    code = train_mod._reroll_supervise(["--preset", "pong64"], 2,
+                                       base_offset=5)
+    assert code == train_mod.EXIT_DISCOVERY_FAILURE
+    offsets = [c[c.index("--seed-offset") + 1] for c in launches]
+    assert offsets == ["5", "6", "7"]
+
+
+def test_reroll_cli_strips_and_forwards_seed_offset(monkeypatch):
+    """main() strips the user's --seed-offset from the child argv (else the
+    appended per-attempt offset and the user's would both parse, last-wins)
+    and forwards it as the reroll base."""
+    from keypoints_tpu import train as train_mod
+
+    seen = {}
+
+    def fake_reroll(child_argv, n, base_offset=0):
+        seen.update(argv=child_argv, n=n, base=base_offset)
+        return 0
+
+    monkeypatch.setattr(train_mod, "_reroll_supervise", fake_reroll)
+    with pytest.raises(SystemExit) as ei:
+        train_mod.main(["--preset", "pong64", "--reroll-on-plateau", "2",
+                        "--seed-offset", "5"])
+    assert ei.value.code == 0
+    assert seen["n"] == 2 and seen["base"] == 5
+    assert "--seed-offset" not in seen["argv"]
+    assert "--reroll-on-plateau" not in seen["argv"]
+
+
+def test_convert_cli_applies_platform(monkeypatch):
+    """keypoints-convert honors $KEYPOINTS_TPU_PLATFORM like every other
+    CLI (r5 review #3: shape validation / the export-torch restore allocate
+    on the default backend — grabbing the TPU mid-measurement — otherwise)."""
+    from keypoints_tpu import checkpoint as ck
+    from keypoints_tpu.utils import platform as plat
+
+    calls = []
+    monkeypatch.setattr(plat, "apply_platform",
+                        lambda *a, **k: calls.append(True))
+    with pytest.raises(SystemExit):     # no subcommand → argparse error,
+        ck._cli([])                     # but the platform was forced first
+    assert calls
