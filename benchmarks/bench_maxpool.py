@@ -1,12 +1,12 @@
-"""Micro-bench: max-pool 2x2 backward — select-and-scatter vs custom VJP.
+"""Micro-bench: max-pool 2x2 backward — select-and-scatter vs masked VJP.
 
-XLA lowers the gradient of ``reduce_window(max)`` to ``select-and-scatter``,
-a windowed sequential scan that is notoriously slow on TPU. The custom VJP
-in models/vgg.py (``max_pool_2x2``) replaces it with strided compares +
-first-occurrence masks (exact, same tie routing). This measures fwd+bwd of
-both at the VGG pool shapes pose256-b128 actually runs (pool1/pool2 of the
-recon branch), using fori-loop difference timing (the only reliable sub-ms
-method through the axon tunnel — see CLAUDE.md).
+**SUPERSEDED (r5) by benchmarks/bench_pool_alts.py.** The original version
+of this harness consumed only ``dx.ravel()[0]``, so XLA sliced through the
+masked-VJP design's elementwise graph and understated it ~2.2× — which is
+how the r4 custom VJP got (wrongly) crowned and shipped. The consume below
+is fixed (squared f32 sums of every output byte, the floor_proof rule) so
+re-running reproduces pool_alts.json's honest numbers: select-and-scatter
+WINS at b128 and models/vgg.py ships plain reduce-window autodiff.
 
 Run on the TPU: python benchmarks/bench_maxpool.py
 """
@@ -22,7 +22,7 @@ from flax import linen as nn
 
 sys.path.insert(0, ".")
 
-from keypoints_tpu.models.vgg import max_pool_2x2  # noqa: E402
+from benchmarks.bench_pool_alts import pool_masked  # noqa: E402
 from keypoints_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 
 
@@ -32,8 +32,13 @@ def timed_loop(fn, x, iters):
     import functools
 
     def many(x, n):
+        # consume EVERY output byte with a squared f32 reduce folded back
+        # into the carry (floor_proof integrity rule) — the original
+        # .ravel()[0] consume let XLA slice through elementwise-mask
+        # designs and understate them ~2.2x (the r4 mis-crowning)
         def body(i, carry):
-            return carry + fn(carry).ravel()[0] * 1e-20
+            q = jnp.sum(jnp.square(fn(carry)), dtype=jnp.float32)
+            return carry + q.astype(carry.dtype) * 1e-20
         return jax.lax.fori_loop(0, n, body, x)
 
     f1 = jax.jit(functools.partial(many, n=iters))
@@ -63,7 +68,7 @@ def bench(shape, dtype, iters=30):
         return vjp(y)[0]
 
     def custom_fb(x):
-        y, vjp = jax.vjp(max_pool_2x2, x)
+        y, vjp = jax.vjp(pool_masked, x)
         return vjp(y)[0]
 
     tb = timed_loop(base_fb, x, iters)

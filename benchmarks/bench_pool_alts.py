@@ -21,8 +21,9 @@ forward:
 
 forward+backward (cotangent routing EXACT first-match, row-major
 (h0w0, h0w1, h1w0, h1w1) — torch MaxPool2d / XLA select-and-scatter order):
-* ``custom`` — the shipped custom VJP (strided corner compares +
-  stack(axis=3) lane-splitting W-interleave).
+* ``custom`` — the r4 masked VJP that USED TO ship (strided corner
+  compares + stack(axis=3) lane-splitting W-interleave; ``pool_masked``
+  below keeps it verbatim now that models/vgg.py dropped it).
 * ``sas``    — XLA autodiff of reduce_window (select-and-scatter).
 * ``lane``   — the relayout-free VJP: corner masks from lane slices of the
   free reshape, W-interleave as a lane CONCAT (free), H-interleave as a
@@ -69,6 +70,43 @@ def fwd_lane(x):
     z = x.reshape(n, h, w // 2, 2 * c)
     wmax = jnp.maximum(z[..., :c], z[..., c:])
     return jnp.maximum(wmax[:, ::2], wmax[:, 1::2])
+
+
+# the r4 masked VJP that used to ship as models/vgg.py::max_pool_2x2 —
+# kept here verbatim as the measured-negative design fb_custom records
+# (25.9 / 12.1 ms at the two shapes; the shipped pool is now plain
+# reduce-window autodiff = fb_sas)
+@jax.custom_vjp
+def pool_masked(x):
+    return fwd_rw(x)
+
+
+def _pm_fwd(x):
+    y = fwd_rw(x)
+    return y, (x, y)
+
+
+def _pm_bwd(res, g):
+    x, y = res
+    x00, x01 = x[:, ::2, ::2], x[:, ::2, 1::2]
+    x10, x11 = x[:, 1::2, ::2], x[:, 1::2, 1::2]
+    e00, e01, e10, e11 = (x00 == y), (x01 == y), (x10 == y), (x11 == y)
+    f01 = e01 & ~e00
+    f10 = e10 & ~(e00 | e01)
+    f11 = e11 & ~(e00 | e01 | e10)
+    z = g.dtype.type(0)
+
+    def iw(a, b):
+        n, h, w, c = a.shape
+        return jnp.stack([a, b], axis=3).reshape(n, h, 2 * w, c)
+
+    row0 = iw(jnp.where(e00, g, z), jnp.where(f01, g, z))
+    row1 = iw(jnp.where(f10, g, z), jnp.where(f11, g, z))
+    n, h, w, c = row0.shape
+    return (jnp.stack([row0, row1], axis=2).reshape(n, 2 * h, w, c),)
+
+
+pool_masked.defvjp(_pm_fwd, _pm_bwd)
 
 
 @jax.custom_vjp
@@ -149,11 +187,12 @@ def check_exact():
     (dx0,) = vjp0(g)
     for name, f in [("slice", fwd_slice), ("lane", fwd_lane)]:
         np.testing.assert_array_equal(np.asarray(f(x)), np.asarray(y0), name)
-    y1, vjp1 = jax.vjp(pool_lane, x)
-    (dx1,) = vjp1(g)
-    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))
-    np.testing.assert_array_equal(np.asarray(dx1), np.asarray(dx0))
-    print("exactness: ok (fwd x2, lane vjp tie routing)", flush=True)
+    for pool in (pool_lane, pool_masked):
+        y1, vjp1 = jax.vjp(pool, x)
+        (dx1,) = vjp1(g)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))
+        np.testing.assert_array_equal(np.asarray(dx1), np.asarray(dx0))
+    print("exactness: ok (fwd x2, lane+masked vjp tie routing)", flush=True)
 
 
 def main():
@@ -161,29 +200,40 @@ def main():
     enable_compile_cache()
     print("platform:", jax.devices()[0].platform, flush=True)
     check_exact()
+    path = os.path.join(_HERE, "pool_alts.json")
     out = {"device": jax.devices()[0].platform,
            "method": "floor_proof.scan_diff_ms, squared f32 consumes"}
+    if os.path.exists(path) and "--resume" in sys.argv:
+        with open(path) as fh:
+            out.update(json.load(fh))
     for shape in SHAPES:
         n, h, w, c = shape
         n1 = 30 if h >= 256 else 100
         key = f"{n}x{h}x{w}x{c}"
+        done = out.get(key, {})
         nb_fwd = 2 * n * h * w * c + 2 * n * (h // 2) * (w // 2) * c
         nb_bwd = nb_fwd + 2 * 2 * n * h * w * c // 4 + 2 * n * h * w * c
         row = {"read_write_floor_fwd_ms":
                round(nb_fwd / HBM_BYTES_PER_S * 1e3, 3),
                "read_write_floor_fwdbwd_ms":
                round(nb_bwd / HBM_BYTES_PER_S * 1e3, 3)}
+        from keypoints_tpu.kernels.pool_pallas import max_pool_2x2_pallas
         for name, f in [("fwd_rw", fwd_rw), ("fwd_slice", fwd_slice),
-                        ("fwd_lane", fwd_lane)]:
-            row[name] = round(time_fwd(f, shape, n1), 3)
+                        ("fwd_lane", fwd_lane),
+                        ("fwd_pallas", max_pool_2x2_pallas)]:
+            row[name] = done.get(name) or round(time_fwd(f, shape, n1), 3)
             print(key, name, row[name], flush=True)
-        for name, f in [("fb_custom", max_pool_2x2), ("fb_sas", fwd_rw),
-                        ("fb_lane", pool_lane)]:
-            row[name] = round(time_fwdbwd(f, shape, n1), 3)
+            out[key] = row
+            with open(path, "w") as fh:
+                json.dump(out, fh, indent=1)
+        for name, f in [("fb_custom", pool_masked), ("fb_sas", fwd_rw),
+                        ("fb_lane", pool_lane),
+                        ("fb_pallas", max_pool_2x2_pallas)]:
+            row[name] = done.get(name) or round(time_fwdbwd(f, shape, n1), 3)
             print(key, name, row[name], flush=True)
-        out[key] = row
-        with open(os.path.join(_HERE, "pool_alts.json"), "w") as fh:
-            json.dump(out, fh, indent=1)
+            out[key] = row
+            with open(path, "w") as fh:
+                json.dump(out, fh, indent=1)
     print(json.dumps(out, indent=1), flush=True)
 
 

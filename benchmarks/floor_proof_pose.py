@@ -18,8 +18,10 @@ What the step actually computes, and what each row times:
   (fwd + dX only — the weights are FROZEN, so the step never computes
   their dW) and on the target (fwd only, gradient-free). Two rows per
   conv, each timing exactly those passes.
-* max_pool_2x2 — the custom-VJP pool (measured optimum vs XLA
-  select-and-scatter, benchmarks/bench_maxpool.py r4) on the recon branch
+* max_pool_2x2 — whatever models/vgg.py ships (r5: plain reduce-window
+  autodiff, the honest design-space optimum per
+  benchmarks/bench_pool_alts.py — the r4 masked VJP measured 2.2x slower
+  once the bench consumed every output byte) on the recon branch
   (fwd+bwd) and target branch (fwd).
 * GroupNorm at every pose activation shape — byte floors (4 HBM passes).
 * The perceptual layer-difference reduces — byte floors (read both
@@ -141,7 +143,7 @@ def time_conv(name, count, h, cin, cout, stride, kind, mode,
 
 
 def time_pool(name, count, h, c, mode, batch=BATCH):
-    """max_pool_2x2 (custom VJP — the measured r4 optimum) fwd(+bwd)."""
+    """max_pool_2x2 (the shipped pool) fwd(+bwd)."""
     from keypoints_tpu.models.vgg import max_pool_2x2
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, h, h, c), jnp.float32
@@ -356,7 +358,7 @@ def derive(out):
     out["pool_measured_ms"] = round(pool_ms, 2)
     floor = (out["conv_proven_floor_ms"]
              + out["gn_floor_ms"]
-             + out["pool_measured_ms"]      # custom VJP = measured optimum
+             + out["pool_measured_ms"]      # pool_alts design-space optimum
              + out["loss_reduces"]["floor_ms"]
              + out["bottleneck"]["ms"]      # Pallas design-space optimum
              + out["warp_pair_measured_ms"]

@@ -32,8 +32,9 @@ run() {  # run NAME TIMEOUT_S CMD... — log to $LOG/NAME.log, record status
 
 # 1. every shipped Pallas kernel vs its jnp oracle on the real chip
 run parity   2400 python benchmarks/check_tpu_parity.py
-# 2. max_pool_2x2 custom-VJP measurement (perceptual trunk backward)
-run maxpool  1200 python benchmarks/bench_maxpool.py
+# 2. pool design-space measurement (perceptual trunk; --resume re-measures
+#    only rows missing from the committed pool_alts.json)
+run pool     2400 python benchmarks/bench_pool_alts.py --resume
 # 3. fresh headline (writes the driver JSON line)
 run bench    1200 python bench.py
 # 4. short real train run: best-checkpoint/eval_loss path on-chip
