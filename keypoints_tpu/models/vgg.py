@@ -37,55 +37,26 @@ _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-@jax.custom_vjp
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """2×2/stride-2 max pool (NHWC) with a cheap exact backward.
+    """2×2/stride-2 max pool (NHWC) — plain reduce-window autodiff.
 
-    Forward is the stock reduce-window. The default backward lowers to XLA
-    ``select-and-scatter`` — a notoriously slow TPU lowering (measured in
-    benchmarks/bench_maxpool.py; numbers in docs/DESIGN.md). This VJP
-    replaces it with elementwise compare/mask ops while keeping tie routing
-    EXACT: the gradient goes to the first window element equal to the max
-    in (dy, dx) row-major order — the same element XLA's select-and-scatter
-    (GE select) and torch's MaxPool2d indices pick, so golden-parity is
-    unaffected even on plateaus (e.g. ReLU zeros).
+    This is the HONESTLY-measured TPU optimum at the pose256-b128 shapes
+    (benchmarks/bench_pool_alts.py → pool_alts.json, r5): fwd+bwd via XLA
+    select-and-scatter is 11.47 ms at (128,256,256,64) bf16 and 5.66 ms at
+    (128,128,128,128), vs 25.9 / 12.1 ms for the r4 custom VJP (strided
+    corner compares + ``stack(axis=3)`` lane-splitting W-interleaves) that
+    used to live here. The r4 bench that crowned that VJP consumed only
+    ``dx[0]``, so XLA sliced through its elementwise masks and the design
+    measured 2.2× faster than it really is; a Pallas selection-matmul pool
+    was also built and measured no better than reduce_window
+    (kernels/experimental.py). Tie routing is unchanged: XLA's
+    select-and-scatter (GE select) sends the gradient to the FIRST window
+    element equal to the max in row-major order — the same element torch's
+    MaxPool2d picks — pinned bit-exactly (incl. plateaus and bf16) by
+    tests/test_vgg.py::test_max_pool_2x2_backward_exact.
     """
     assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, x.shape
     return nn.max_pool(x, (2, 2), strides=(2, 2))
-
-
-def _mp_fwd(x):
-    y = max_pool_2x2(x)
-    return y, (x, y)
-
-
-def _mp_bwd(res, g):
-    x, y = res
-    # corners of each window as strided 4-D slices (no size-2 sublane dims —
-    # a (…,2,C) reshape would tile-pad 4x on TPU, the decoder-upsample lesson)
-    x00, x01 = x[:, ::2, ::2], x[:, ::2, 1::2]
-    x10, x11 = x[:, 1::2, ::2], x[:, 1::2, 1::2]
-    e00, e01, e10, e11 = (x00 == y), (x01 == y), (x10 == y), (x11 == y)
-    f01 = e01 & ~e00
-    f10 = e10 & ~(e00 | e01)
-    f11 = e11 & ~(e00 | e01 | e10)
-    z = g.dtype.type(0)
-    row0 = _interleave_w(jnp.where(e00, g, z), jnp.where(f01, g, z))
-    row1 = _interleave_w(jnp.where(f10, g, z), jnp.where(f11, g, z))
-    return (_interleave_h(row0, row1),)
-
-
-def _interleave_w(a, b):
-    n, h, w, c = a.shape
-    return jnp.stack([a, b], axis=3).reshape(n, h, 2 * w, c)
-
-
-def _interleave_h(a, b):
-    n, h, w, c = a.shape
-    return jnp.stack([a, b], axis=2).reshape(n, 2 * h, w, c)
-
-
-max_pool_2x2.defvjp(_mp_fwd, _mp_bwd)
 
 
 class VGG16Features(nn.Module):

@@ -337,3 +337,30 @@ def test_fused_bottleneck_marginal_grad():
     g1 = jax.grad(f_fused)(hm)
     g2 = jax.grad(f_oracle)(hm)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+# ---------------------------------------------------------------- max pool
+
+
+@pytest.mark.parametrize("shape,dtype", [
+    ((2, 32, 32, 64), jnp.float32),
+    ((3, 16, 16, 128), jnp.bfloat16),
+    ((2, 30, 20, 32), jnp.float32),      # H/2 not divisible by the block
+])
+def test_pool_pallas_exact_vs_oracle(shape, dtype):
+    """Fwd AND first-match cotangent routing bit-exact vs models/vgg.py's
+    custom-VJP oracle, on tie-heavy quantized inputs with ReLU plateaus."""
+    from keypoints_tpu.kernels.pool_pallas import max_pool_2x2_pallas
+    from keypoints_tpu.models.vgg import max_pool_2x2
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(np.maximum(rng.randint(-2, 4, size=shape), 0),
+                    jnp.float32).astype(dtype)
+    g = jnp.asarray(rng.rand(shape[0], shape[1] // 2, shape[2] // 2,
+                             shape[3]), jnp.float32).astype(dtype)
+    y0, v0 = jax.vjp(max_pool_2x2, x)
+    (d0,) = v0(g)
+    y1, v1 = jax.vjp(lambda xx: max_pool_2x2_pallas(xx, True), x)
+    (d1,) = v1(g)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
